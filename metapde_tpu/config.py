@@ -1,0 +1,235 @@
+"""Typed, immutable experiment configuration.
+
+Replaces the reference's global mutable absl flags (reference:
+src/util/common_flags.py:10-95 plus per-driver flags, e.g.
+src/maml_pde.py:50-58) with frozen dataclasses that are hashable (safe to
+close over in jitted code) and serialized with every run. Runtime flag
+mutation hazards in the reference (src/get_pde.py:12-20, src/nn_pde.py:51-52)
+are designed out: every config is fixed at construction.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+
+def _replace(cfg, **kw):
+    return dataclasses.replace(cfg, **kw)
+
+
+@dataclass(frozen=True)
+class DomainConfig:
+    """Spatial/temporal bounding box of the task family.
+
+    Mirrors reference flags xmin/xmax/ymin/ymax/tmin/tmax
+    (src/util/common_flags.py:52-62).
+    """
+
+    xmin: float = -1.0
+    xmax: float = 1.0
+    ymin: float = -1.0
+    ymax: float = 1.0
+    tmin: float = 0.0
+    tmax: float = 1.0
+
+
+@dataclass(frozen=True)
+class FieldConfig:
+    """SIREN neural-field architecture (reference: src/nets/field.py:146-199).
+
+    Defaults follow the paper configs in pipeline/pipleline_maml_meta.sh
+    (omega = omega0 = 30, 3x64 net, learnable log IO scales).
+    """
+
+    num_layers: int = 3
+    layer_size: int = 64
+    siren: bool = True            # sin activations + SIREN init; else swish
+    omega: float = 30.0           # per-layer sin frequency multiplier
+    omega0: float = 30.0          # first-layer frequency
+    log_scale: bool = True        # learnable log input/output scales
+    io_scale_lr_factor: float = 10.0  # init scale = 1/factor (field.py:160-164)
+    n_fourier: Optional[int] = None   # optional Fourier features (field.py:111)
+    out_dim: int = 1              # output dimension of the field
+    in_dim: int = 2               # input (coordinate) dimension
+    squeeze_scalar: bool = True   # scalar fields return shape [N] (sum last axis)
+    dtype: str = "float32"
+
+
+@dataclass(frozen=True)
+class TaskConfig:
+    """Which factors of the task distribution vary, and sampling counts.
+
+    Mirrors vary_* / bc_scale / bc_weight / *_points flags
+    (src/util/common_flags.py:14-15,46-49,71-76).
+    """
+
+    pde: str = "poisson"
+    vary_source: bool = True
+    vary_bc: bool = True
+    vary_geometry: bool = True
+    vary_ic: bool = True
+    bc_scale: float = 1.0
+    bc_weight: float = 100.0
+    fixed_num_pdes: Optional[int] = None  # pin task distribution to one task
+    seed: int = 0
+    inner_points: int = 256
+    outer_points: int = 256
+    validation_points: int = 1024
+    n_eval: int = 16
+    # td_burgers specific (common_flags.py:54-58)
+    num_tsteps: int = 101
+    sample_tsteps: int = 64
+    sample_time_random: bool = True
+    max_reynolds: float = 100.0
+    burgers_formulation: str = "default"
+    # hyper_elasticity specific (common_flags.py:63-64)
+    max_holes: int = 12
+    max_hole_size: float = 0.4
+    domain: DomainConfig = field(default_factory=DomainConfig)
+
+
+@dataclass(frozen=True)
+class MamlConfig:
+    """MAML meta-learner hyperparameters (reference: src/maml_pde.py:50-58)."""
+
+    bsize: int = 16
+    outer_lr: float = 1e-5
+    inner_lr: float = 1e-4
+    lr_inner_lr: float = 0.5      # Adam LR for the learned inner-LR pytree
+    inner_steps: int = 5
+    inner_grad_clip: float = 100.0
+    grad_clip: float = 100.0
+    outer_loss_decay: float = 0.1  # 0 = final-step loss only, 1 = sum of all
+    softplus_lrs: bool = True
+
+
+@dataclass(frozen=True)
+class LeapConfig:
+    """LEAP meta-learner hyperparameters (reference: src/leap_pde.py:40-48)."""
+
+    bsize: int = 8
+    outer_lr: float = 5e-5
+    inner_lr: float = 2.5e-5
+    inner_steps: int = 60
+    inner_grad_clip: float = 1e14
+    grad_clip: float = 1e14
+    norm: bool = True
+    loss_in_distance: bool = True
+    stabilize: bool = True
+
+
+@dataclass(frozen=True)
+class SolverConfig:
+    """Ground-truth solver settings (replaces FEniCS resolution flags,
+    src/util/common_flags.py:17-27,31-38)."""
+
+    ground_truth_resolution: int = 16
+    boundary_resolution_factor: float = 3.0
+    newton_max_steps: int = 30
+    newton_tol: float = 1e-8
+    relaxation_parameter: float = 1.0  # Newton damping (back-off on failure)
+    krylov_tol: float = 1e-8
+    krylov_max_iters: int = 2000
+    # Burgers FV solver
+    fv_resolution: int = 1024
+    fv_cfl: float = 0.4
+    # Elasticity load stepping
+    load_steps: int = 4
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device-mesh layout for multi-chip execution.
+
+    The reference has no model-math parallelism beyond single-device vmap
+    (SURVEY.md section 2.3); here task-batch DP and collocation-point sharding
+    are first-class mesh axes.
+    """
+
+    n_task_shards: int = 1   # "dp" axis: tasks sharded across devices
+    n_point_shards: int = 1  # "pt" axis: collocation points sharded within task
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Driver-level training loop settings."""
+
+    outer_steps: int = 100_000_000
+    optimizer: str = "adam"       # adam | rmsprop | ranger | sgd
+    log_every: int = 500
+    val_every: int = 100
+    viz_every: int = 10_000
+    measure_grad_norm_every: int = 1000
+    out_dir: Optional[str] = None
+    expt_name: str = "default"
+    load_model_from_expt: Optional[str] = None
+    checkpoint_every: int = 10_000
+    remat_inner_steps: bool = True  # jax.checkpoint the inner-loop scan body
+
+
+@dataclass(frozen=True)
+class Config:
+    """Top-level experiment config."""
+
+    task: TaskConfig = field(default_factory=TaskConfig)
+    model: FieldConfig = field(default_factory=FieldConfig)
+    maml: MamlConfig = field(default_factory=MamlConfig)
+    leap: LeapConfig = field(default_factory=LeapConfig)
+    solver: SolverConfig = field(default_factory=SolverConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    seed: int = 0
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2, default=str)
+
+
+def _set_nested(obj, dotted: str, value: str):
+    """Return a copy of frozen-dataclass `obj` with `a.b.c=value` applied."""
+    head, _, rest = dotted.partition(".")
+    if not hasattr(obj, head):
+        raise KeyError(f"unknown config field: {head!r} on {type(obj).__name__}")
+    if rest:
+        return _replace(obj, **{head: _set_nested(getattr(obj, head), rest, value)})
+    cur = getattr(obj, head)
+    fld = {f.name: f for f in dataclasses.fields(obj)}[head]
+    return _replace(obj, **{head: _coerce(value, cur, fld.type)})
+
+
+def _coerce(value: str, current, annotation):
+    if isinstance(value, (int, float, bool)) or value is None:
+        return value
+    v = value.strip()
+    if v.lower() in ("none", "null"):
+        return None
+    if isinstance(current, bool):
+        return v.lower() in ("1", "true", "yes")
+    if isinstance(current, int):
+        return int(float(v))
+    if isinstance(current, float):
+        return float(v)
+    if current is None:
+        # Optional field: guess from annotation string
+        ann = str(annotation)
+        if "int" in ann:
+            return int(float(v))
+        if "float" in ann:
+            return float(v)
+    return v
+
+
+def parse_overrides(cfg: Config, argv) -> Config:
+    """Apply `--a.b.c=value` style CLI overrides to a Config."""
+    for arg in argv:
+        if not arg.startswith("--"):
+            continue
+        body = arg[2:]
+        if "=" in body:
+            k, v = body.split("=", 1)
+        else:
+            k, v = body, "true"
+        cfg = _set_nested(cfg, k, v)
+    return cfg

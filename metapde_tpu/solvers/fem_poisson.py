@@ -1,0 +1,209 @@
+"""JAX-native P1 FEM solver for the nonlinear Poisson star-domain problem.
+
+Replaces the reference's FEniCS oracle (src/poisson/poisson_fenics.py:40-91:
+mshr polygon meshing + P2 FEM + PETSc Newton) with a fully jit-compiled,
+TPU-resident pipeline:
+
+- Mesh: structured polar triangulation of the unit disk (center fan + ring
+  quads split into triangles), mapped onto the star domain
+  r(theta) = 1 + c1 cos 4theta + c2 cos 8theta. Connectivity is static
+  (depends only on resolution); node coordinates are traced functions of the
+  geometry parameters, so one compiled solver serves every task geometry.
+- Weak form (poisson_fenics.py:85-89): find u with u=g on the boundary s.t.
+  int (1 + 0.1 u^2) grad u . grad v dx + int f v dx = 0 for all v.
+- Assembly: vectorized per-element residuals (edge-midpoint quadrature,
+  exact for quadratics) scattered with segment_sum — no sparse matrices.
+- Newton with matrix-free BiCGStab (Jacobian-vector products via jax.jvp)
+  and Jacobi preconditioning, replacing PETSc/MUMPS.
+
+Evaluation at arbitrary points is bilinear interpolation in the logical
+(rho, theta) chart — jit/vmap friendly, so validation stays on device.
+"""
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .newton import newton_krylov
+
+# Edge-midpoint quadrature barycentric weights: row q = barycentric coords of
+# midpoint q; exact for degree-2 integrands on triangles.
+_MIDPT = np.array(
+    [[0.5, 0.5, 0.0], [0.0, 0.5, 0.5], [0.5, 0.0, 0.5]], dtype=np.float32
+)
+
+
+def mesh_topology(resolution: int):
+    """Static triangulation of the polar (rho, theta) grid.
+
+    Returns (tris [E,3] int32, nr, nt). Node 0 is the disk center; node
+    1 + (i-1)*nt + j is ring i (1..nr), angle j (0..nt-1).
+    """
+    nr = max(8, 4 * resolution)
+    nt = max(32, 16 * resolution)
+
+    def node(i, j):
+        return 1 + (i - 1) * nt + (j % nt)
+
+    tris = []
+    for j in range(nt):  # center fan
+        tris.append([0, node(1, j), node(1, j + 1)])
+    for i in range(1, nr):  # ring quads -> 2 triangles
+        for j in range(nt):
+            a, b = node(i, j), node(i, j + 1)
+            c, d = node(i + 1, j), node(i + 1, j + 1)
+            tris.append([a, c, d])
+            tris.append([a, d, b])
+    return np.asarray(tris, dtype=np.int32), nr, nt
+
+
+def node_coords(geo_params, nr: int, nt: int):
+    """Physical coordinates of mesh nodes for a star geometry (traced)."""
+    c1, c2 = geo_params
+    thetas = jnp.arange(nt) * (2.0 * jnp.pi / nt)
+    rhos = jnp.arange(1, nr + 1) / nr
+    r_theta = 1.0 + c1 * jnp.cos(4.0 * thetas) + c2 * jnp.cos(8.0 * thetas)
+    r = rhos[:, None] * r_theta[None, :]
+    x = r * jnp.cos(thetas)[None, :]
+    y = r * jnp.sin(thetas)[None, :]
+    ring_pts = jnp.stack([x.reshape(-1), y.reshape(-1)], axis=1)
+    return jnp.concatenate([jnp.zeros((1, 2)), ring_pts], axis=0)
+
+
+def _element_geometry(coords, tris):
+    """Per-element P1 geometry: barycentric-basis gradients and areas."""
+    verts = coords[tris]  # [E,3,2]
+    e1 = verts[:, 1] - verts[:, 0]
+    e2 = verts[:, 2] - verts[:, 0]
+    det = e1[:, 0] * e2[:, 1] - e1[:, 1] * e2[:, 0]  # 2*signed area
+    area = 0.5 * jnp.abs(det)
+    inv_det = 1.0 / det
+    # inv(M) rows give grad lambda1, grad lambda2 (M = [e1 e2] columns)
+    g1 = jnp.stack([e2[:, 1] * inv_det, -e2[:, 0] * inv_det], axis=1)
+    g2 = jnp.stack([-e1[:, 1] * inv_det, e1[:, 0] * inv_det], axis=1)
+    g0 = -(g1 + g2)
+    gradphi = jnp.stack([g0, g1, g2], axis=1)  # [E,3,2]
+    midpts = jnp.einsum("qk,ekd->eqd", jnp.asarray(_MIDPT), verts)  # [E,3,2]
+    return gradphi, area, midpts
+
+
+class PoissonGroundTruth(NamedTuple):
+    """FEM solution on the (rho, theta) chart; u_grid[0] is the center value."""
+
+    u_grid: jnp.ndarray  # [nr+1, nt]
+    geo_params: jnp.ndarray  # [2] (c1, c2)
+    residual_norm: jnp.ndarray
+
+
+@partial(jax.jit, static_argnames=("resolution", "max_newton_steps"))
+def solve(params, resolution: int = 16, max_newton_steps: int = 12):
+    """Solve one Poisson task; returns a PoissonGroundTruth pytree."""
+    source_params, bc_params, geo_params = params
+    tris_np, nr, nt = mesh_topology(resolution)
+    tris = jnp.asarray(tris_np)
+    n_nodes = 1 + nr * nt
+
+    coords = node_coords(geo_params, nr, nt)
+    gradphi, area, midpts = _element_geometry(coords, tris)
+
+    # Source term at quadrature points (poisson_common.py:142-146)
+    def source_fn(x):
+        d2 = (x[0] - source_params[:, 0]) ** 2 + (x[1] - source_params[:, 1]) ** 2
+        return jnp.sum(source_params[:, 2] * jnp.exp(-d2))
+
+    f_q = jax.vmap(jax.vmap(source_fn))(midpts)  # [E,3]
+
+    # Dirichlet data on the outer ring (poisson_common.py:122-134)
+    bdry_idx = jnp.arange(1 + (nr - 1) * nt, n_nodes)
+    bdry_mask = jnp.zeros((n_nodes,), bool).at[bdry_idx].set(True)
+
+    def bc_fn(x):
+        theta = jnp.arctan2(x[1], x[0])
+        return (
+            bc_params[0]
+            + bc_params[1] / 4.0 * jnp.cos(theta)
+            + bc_params[2] / 4.0 * jnp.sin(theta)
+            + bc_params[3] / 4.0 * jnp.cos(2.0 * theta)
+            + bc_params[4] / 4.0 * jnp.sin(2.0 * theta)
+        )
+
+    g_full = jnp.where(bdry_mask, jax.vmap(bc_fn)(coords), 0.0)
+
+    mq = jnp.asarray(_MIDPT)  # [q, k]
+
+    def residual(u):
+        ue = u[tris]  # [E,3]
+        grad_u = jnp.einsum("ek,ekd->ed", ue, gradphi)  # [E,2]
+        uq = ue @ mq.T  # [E,3] values at midpoints
+        c_bar = jnp.mean(1.0 + 0.1 * uq ** 2, axis=1)  # [E]
+        flux = jnp.einsum("e,ed,ekd->ek", area * c_bar, grad_u, gradphi)
+        load = (area[:, None] / 3.0) * jnp.einsum("eq,qk->ek", f_q, mq)
+        r_elem = flux + load
+        r = jax.ops.segment_sum(
+            r_elem.reshape(-1), tris.reshape(-1), num_segments=n_nodes
+        )
+        return jnp.where(bdry_mask, u - g_full, r)
+
+    # Jacobi preconditioner from the linear (c=1) stiffness diagonal
+    diag_elem = area[:, None] * jnp.sum(gradphi ** 2, axis=2)
+    diag = jax.ops.segment_sum(
+        diag_elem.reshape(-1), tris.reshape(-1), num_segments=n_nodes
+    )
+    diag = jnp.where(bdry_mask, 1.0, jnp.maximum(diag, 1e-12))
+
+    u0 = g_full
+    result = newton_krylov(
+        residual,
+        u0,
+        max_steps=max_newton_steps,
+        rel_tol=2e-5,
+        krylov_tol=1e-6,
+        krylov_max_iters=max(200, 20 * resolution),
+        precond_diag=diag,
+    )
+
+    u = result.u
+    center = u[0]
+    rings = u[1:].reshape(nr, nt)
+    u_grid = jnp.concatenate([jnp.full((1, nt), center), rings], axis=0)
+    return PoissonGroundTruth(
+        u_grid=u_grid,
+        geo_params=jnp.asarray(geo_params),
+        residual_norm=result.residual_norm,
+    )
+
+
+def evaluate(gt: PoissonGroundTruth, x):
+    """Evaluate the FEM solution at physical point x [2] (jit/vmap friendly).
+
+    Bilinear interpolation in the logical (rho, theta) chart; points outside
+    the star are clamped to the boundary (the analog of FEniCS
+    set_allow_extrapolation(True), trainer_util.py:70).
+    """
+    nr = gt.u_grid.shape[0] - 1
+    nt = gt.u_grid.shape[1]
+    c1, c2 = gt.geo_params[0], gt.geo_params[1]
+
+    theta = jnp.arctan2(x[1], x[0]) % (2.0 * jnp.pi)
+    r_theta = 1.0 + c1 * jnp.cos(4.0 * theta) + c2 * jnp.cos(8.0 * theta)
+    rho = jnp.clip(jnp.linalg.norm(x) / r_theta, 0.0, 1.0)
+
+    fi = rho * nr
+    i0 = jnp.clip(jnp.floor(fi).astype(jnp.int32), 0, nr - 1)
+    wi = fi - i0
+
+    fj = theta / (2.0 * jnp.pi) * nt
+    j0 = jnp.clip(jnp.floor(fj).astype(jnp.int32), 0, nt - 1)
+    wj = fj - j0
+    j1 = (j0 + 1) % nt
+
+    u00 = gt.u_grid[i0, j0]
+    u01 = gt.u_grid[i0, j1]
+    u10 = gt.u_grid[i0 + 1, j0]
+    u11 = gt.u_grid[i0 + 1, j1]
+    return (
+        (1 - wi) * ((1 - wj) * u00 + wj * u01) + wi * ((1 - wj) * u10 + wj * u11)
+    )

@@ -1,0 +1,79 @@
+"""Matrix-free Newton-Krylov utilities shared by the FEM solvers.
+
+Replaces the reference's reliance on PETSc Newton with relaxation back-off
+(td_burgers_fenics.py:103-115, hyper_elasticity_fenics.py:141-183). The
+Jacobian is never materialized: J v comes from jax.jvp of the residual, and
+linear solves use Krylov methods from jax.scipy. Damping/line-search recovers
+the robustness PETSc's relaxation parameter provided.
+"""
+
+from functools import partial
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class NewtonResult(NamedTuple):
+    u: jnp.ndarray
+    residual_norm: jnp.ndarray
+    iterations: jnp.ndarray
+
+
+def newton_krylov(
+    residual_fn: Callable,
+    u0: jnp.ndarray,
+    max_steps: int = 30,
+    rel_tol: float = 2e-5,
+    abs_tol: float = 1e-12,
+    damping: float = 1.0,
+    krylov_tol: float = 1e-5,
+    krylov_max_iters: int = 400,
+    precond_diag: jnp.ndarray = None,
+    symmetric: bool = False,
+) -> NewtonResult:
+    """Solve residual_fn(u) = 0 by damped Newton with matrix-free Krylov.
+
+    Tolerances are RELATIVE to the initial residual norm — the natural
+    stopping rule in f32, where absolute targets below ~1e-6 * scale are
+    unreachable and make Krylov iterations spin to NaN. Uses a while_loop
+    with static max_steps; shapes stay static for jit. BiCGStab handles the
+    nonsymmetric Jacobians of Galerkin residuals; set symmetric=True (CG)
+    for energy Hessians.
+    """
+    minv = 1.0 / precond_diag if precond_diag is not None else None
+
+    def lin_solve(u, rhs):
+        jvp_fn = lambda v: jax.jvp(residual_fn, (u,), (v,))[1]
+        M = (lambda v: v * minv) if minv is not None else None
+        if symmetric:
+            sol, _ = jax.scipy.sparse.linalg.cg(
+                jvp_fn, rhs, tol=krylov_tol, maxiter=krylov_max_iters, M=M
+            )
+        else:
+            sol, _ = jax.scipy.sparse.linalg.bicgstab(
+                jvp_fn, rhs, tol=krylov_tol, maxiter=krylov_max_iters, M=M
+            )
+        # guard a diverged Krylov solve: fall back to a preconditioned
+        # steepest-descent-like step (the PETSc-relaxation analog)
+        bad = ~jnp.isfinite(jnp.sum(sol))
+        fallback = rhs * (minv if minv is not None else 1.0)
+        return jnp.where(bad, fallback, sol)
+
+    r0norm = jnp.linalg.norm(residual_fn(u0))
+    target = jnp.maximum(rel_tol * r0norm, abs_tol)
+
+    def cond(state):
+        _, rnorm, it = state
+        return jnp.logical_and(it < max_steps, rnorm > target)
+
+    def body(state):
+        u, _, it = state
+        r = residual_fn(u)
+        du = lin_solve(u, -r)
+        u = u + damping * du
+        rnorm = jnp.linalg.norm(residual_fn(u))
+        return u, rnorm, it + 1
+
+    u, rnorm, it = jax.lax.while_loop(cond, body, (u0, r0norm, jnp.int32(0)))
+    return NewtonResult(u=u, residual_norm=rnorm, iterations=it)

@@ -1,0 +1,48 @@
+"""Checkpoint / resume.
+
+Upgrades the reference's pickle-of-state-dict checkpoints
+(src/maml_pde.py:436-439 saving [model, inner_lrs]; resume at
+maml_pde.py:126-141 via highest-numbered model_step_*.pickle) to full train
+state: params, learned inner-lr pytree, outer optimizer state, PRNG key, and
+step — so resume continues the optimizer trajectory (the reference restarts
+Adam from scratch on resume, SURVEY.md section 5).
+"""
+
+import os
+import pickle
+import re
+from typing import Optional
+
+import jax
+import numpy as np
+
+
+def _to_host(tree):
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+
+def save_checkpoint(path: str, step: int, state: dict):
+    """Write checkpoint_step_{step}.pickle under `path`."""
+    fname = os.path.join(path, f"checkpoint_step_{step}.pickle")
+    with open(fname, "wb") as f:
+        pickle.dump({"step": step, **_to_host(state)}, f,
+                    protocol=pickle.HIGHEST_PROTOCOL)
+    return fname
+
+
+def latest_checkpoint(path: str) -> Optional[str]:
+    """Highest-numbered checkpoint file in `path` (reference regex pick,
+    maml_pde.py:128-136); also accepts the reference's model_step_ naming."""
+    if not os.path.isdir(path):
+        return None
+    cands = [f for f in os.listdir(path)
+             if "checkpoint_step" in f or "model_step" in f]
+    if not cands:
+        return None
+    steps = [int(re.findall(r"[0-9]+", f)[-1]) for f in cands]
+    return os.path.join(path, cands[int(np.argmax(steps))])
+
+
+def load_checkpoint(fname: str) -> dict:
+    with open(fname, "rb") as f:
+        return pickle.load(f)

@@ -1,0 +1,316 @@
+"""MAML meta-training driver (reference: src/maml_pde.py:61-472).
+
+Builds the task-loss machinery, the learned per-step inner-LR pytree with its
+own Adam, the (optionally mesh-sharded) jitted train step, the ground-truth
+validation harness, metrics/checkpointing — and runs the meta-train loop.
+
+Reference semantics preserved:
+- total loss = bc_weight * sum(boundary losses) + sum(domain losses)
+  (maml_pde.py:76-85).
+- inner-LR pytree: congruent to the model, stacked inner_steps deep,
+  initialized to ones, meta-optimized by Adam(lr_inner_lr, b2=0.99)
+  (maml_pde.py:150-159).
+- meta-grad global-norm clip: norm measured on the MODEL part, the scale
+  applied to both model and lr grads (maml_pde.py:210-223).
+- NaN abort (maml_pde.py:260-262).
+- deployment path get_final_model = k-step single_task_rollout with truncated
+  lr stacks — one code path for train and inference (maml_pde.py:163-183).
+"""
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..config import Config
+from ..meta import maml
+from ..models import make_field
+from ..parallel.mesh import POINT_AXIS, make_mesh
+from ..parallel.sharding import make_sharded_maml_grad_fn
+from ..pdes import get_pde
+from ..utils import Timer, clip_by_global_norm, global_norm
+from . import checkpoints as ckpt
+from .metrics import prepare_logging
+from .optimizers import get_optimizer
+from .validation import get_ground_truth, make_validation_fn
+
+
+def build(cfg: Config):
+    """Construct every pure component of a MAML experiment; returns a dict.
+
+    Kept separate from run() so tests, benchmarks, and __graft_entry__ can
+    reuse the exact training computation without the outer loop.
+    """
+    pde = get_pde(cfg.task)
+    model_cfg = dataclasses.replace(
+        cfg.model, in_dim=pde.in_dim, out_dim=pde.out_dim,
+        squeeze_scalar=pde.scalar,
+    )
+    field = make_field(model_cfg)
+
+    def loss_fn(field_fn, points, params):
+        boundary_losses, domain_losses = pde.loss_fn(field_fn, points, params)
+        loss = cfg.task.bc_weight * sum(boundary_losses.values()) + sum(
+            domain_losses.values()
+        )
+        return loss, {**boundary_losses, **domain_losses}
+
+    n_pt = cfg.mesh.n_point_shards
+
+    def make_task_loss_fns_factory(pt_sharded: bool):
+        """Task loss factory; pt_sharded=True splits the collocation-point
+        batch across the mesh's pt axis and pmeans the loss (the PINN
+        analogue of sequence parallelism, SURVEY.md section 5)."""
+
+        def make_task_loss_fns(key):
+            # The input key is terminal (PRNG discipline, maml_pde.py:88)
+            task_params = pde.sample_params(key)
+
+            def point_loss(key, field_params, n):
+                # pt-sharded losses are LOCAL to the shard's point subset;
+                # the meta engine pmeans losses/grads over pt (maml.py)
+                if pt_sharded:
+                    key = jax.random.fold_in(
+                        key, jax.lax.axis_index(POINT_AXIS)
+                    )
+                    n = n // n_pt
+                pts = pde.sample_points(key, n, task_params)
+                return loss_fn(
+                    lambda x: field.apply(field_params, x), pts, task_params
+                )
+
+            inner_loss = lambda key, fp: point_loss(key, fp, cfg.task.inner_points)
+            outer_loss = lambda key, fp: point_loss(key, fp, cfg.task.outer_points)
+            return inner_loss, outer_loss
+
+        return make_task_loss_fns
+
+    def _make_maml_def(pt_sharded: bool):
+        return maml.MamlDef(
+            inner_opt=optax.sgd(cfg.maml.inner_lr),
+            make_task_loss_fns=make_task_loss_fns_factory(pt_sharded),
+            inner_steps=cfg.maml.inner_steps,
+            n_batch_tasks=cfg.maml.bsize,
+            softplus_lrs=True,
+            outer_loss_decay=cfg.maml.outer_loss_decay,
+            inner_grad_clip=cfg.maml.inner_grad_clip,
+            remat=cfg.train.remat_inner_steps,
+            pt_axis=POINT_AXIS if pt_sharded else None,
+        )
+
+    maml_def = _make_maml_def(False)
+
+    key = jax.random.PRNGKey(cfg.seed)
+    key, init_key = jax.random.split(key)
+    init_params = field.init(init_key)
+
+    # learned per-parameter per-step inner lrs (maml_pde.py:151-154)
+    inner_lrs = jax.tree_util.tree_map(
+        lambda x: jnp.ones((cfg.maml.inner_steps,) + x.shape, x.dtype), init_params
+    )
+
+    outer_opt = get_optimizer(cfg.train.optimizer, cfg.maml.outer_lr)
+    lr_opt = optax.adam(cfg.maml.lr_inner_lr, b1=0.9, b2=0.99)
+
+    # --- train step ---------------------------------------------------------
+    use_mesh = cfg.mesh.n_task_shards > 1 or cfg.mesh.n_point_shards > 1
+    if use_mesh:
+        mesh = make_mesh(cfg.mesh.n_task_shards, cfg.mesh.n_point_shards)
+        grad_fn = make_sharded_maml_grad_fn(_make_maml_def(n_pt > 1), mesh)
+    else:
+        mesh = None
+        grad_fn = jax.jit(
+            lambda key, params, lrs: maml.multi_task_grad_and_losses(
+                maml_def, key, params, lrs
+            )
+        )
+
+    @jax.jit
+    def train_step(key, params, lrs, opt_state, lr_opt_state):
+        meta_grad, losses, meta_losses = grad_fn(key, params, lrs)
+        model_grad, lr_grad = meta_grad
+        # norm on the model part, scale applied to both (maml_pde.py:210-223)
+        meta_grad_norm = global_norm(model_grad)
+        scale = jnp.where(
+            meta_grad_norm > cfg.maml.grad_clip,
+            cfg.maml.grad_clip / jnp.maximum(meta_grad_norm, 1e-30),
+            1.0,
+        )
+        model_grad, lr_grad = jax.tree_util.tree_map(
+            lambda g: g * scale, (model_grad, lr_grad)
+        )
+        updates, opt_state = outer_opt.update(model_grad, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        lr_updates, lr_opt_state = lr_opt.update(lr_grad, lr_opt_state, lrs)
+        lrs = optax.apply_updates(lrs, lr_updates)
+        return params, lrs, opt_state, lr_opt_state, losses, meta_losses, meta_grad_norm
+
+    # --- deployment / validation -------------------------------------------
+    def get_final_model(key, model_and_lrs, task_params, inner_steps: int):
+        """k-step adaptation from the meta-learned init (maml_pde.py:163-183)."""
+        params, lrs = model_and_lrs
+        if inner_steps == 0:
+            return params
+        k1, k2 = jax.random.split(key, 2)
+        pts = pde.sample_points(k1, cfg.task.inner_points, task_params)
+        inner_loss_fn = lambda key, fp: loss_fn(
+            lambda x: field.apply(fp, x), pts, task_params
+        )
+        lrs_k = jax.tree_util.tree_map(lambda x: x[:inner_steps], lrs)
+        temp_def = maml_def._replace(inner_steps=inner_steps)
+        final_params, _ = maml.single_task_rollout(
+            temp_def, k2, params, inner_loss_fn, lrs_k
+        )
+        return final_params
+
+    def make_coef_func(key, model_and_lrs, task_params, coords,
+                       inner_steps: Optional[int] = None):
+        k = maml_def.inner_steps if inner_steps is None else inner_steps
+        final_params = get_final_model(key, model_and_lrs, task_params, k)
+        return jnp.squeeze(field.apply(final_params, coords))
+
+    @jax.jit
+    def validation_losses(params, lrs):
+        _, losses, meta_losses = maml.multi_task_grad_and_losses(
+            maml_def, jax.random.PRNGKey(0), params, lrs
+        )
+        return losses, meta_losses
+
+    return dict(
+        pde=pde,
+        field=field,
+        model_cfg=model_cfg,
+        maml_def=maml_def,
+        loss_fn=loss_fn,
+        init_params=init_params,
+        inner_lrs=inner_lrs,
+        outer_opt=outer_opt,
+        lr_opt=lr_opt,
+        train_step=train_step,
+        get_final_model=get_final_model,
+        make_coef_func=make_coef_func,
+        validation_losses=validation_losses,
+        mesh=mesh,
+        key=key,
+    )
+
+
+def run(cfg: Config):
+    """Full meta-training loop (reference main, maml_pde.py:61-439)."""
+    out_dir = cfg.train.out_dir or f"{cfg.task.pde}_maml_results"
+    path, log, metrics = prepare_logging(out_dir, cfg.train.expt_name)
+    log(cfg.to_json())
+    if path is not None:
+        with open(f"{path}/config.json", "w") as f:
+            f.write(cfg.to_json())
+
+    c = build(cfg)
+    pde, field = c["pde"], c["field"]
+    params, inner_lrs = c["init_params"], c["inner_lrs"]
+    key = c["key"]
+
+    if cfg.train.load_model_from_expt:
+        fname = ckpt.latest_checkpoint(cfg.train.load_model_from_expt)
+        if fname:
+            state = ckpt.load_checkpoint(fname)
+            params = jax.tree_util.tree_map(jnp.asarray, state["params"])
+            if state.get("inner_lrs") is not None:
+                inner_lrs = jax.tree_util.tree_map(
+                    jnp.asarray, state["inner_lrs"]
+                )
+            log(f"loaded checkpoint {fname}")
+
+    opt_state = c["outer_opt"].init(params)
+    lr_opt_state = c["lr_opt"].init(inner_lrs)
+
+    # ground truth (once, on device — reference does this on CPU via FEniCS)
+    key, gt_key, gt_points_key = jax.random.split(key, 3)
+    gt_keys = jax.random.split(gt_key, cfg.task.n_eval)
+    gt_params = jax.vmap(pde.sample_params)(gt_keys)
+    bundle = get_ground_truth(
+        pde, gt_params, gt_points_key, cfg.task.validation_points,
+        cfg.solver.ground_truth_resolution,
+    )
+
+    validation_fn = make_validation_fn(
+        pde,
+        partial(c["make_coef_func"], inner_steps=cfg.maml.inner_steps),
+        cfg.task.n_eval,
+        num_tsteps=cfg.task.num_tsteps if cfg.task.pde == "td_burgers" else None,
+        symmetry=cfg.task.pde == "hyper_elasticity",
+    )
+
+    train_step = c["train_step"]
+    for step in range(cfg.train.outer_steps):
+        key, subkey = jax.random.split(key)
+        with Timer() as t:
+            (params, inner_lrs, opt_state, lr_opt_state, losses, meta_losses,
+             meta_grad_norm) = train_step(
+                subkey, params, inner_lrs, opt_state, lr_opt_state
+            )
+            jax.block_until_ready(params)
+
+        if np.isnan(np.mean(np.asarray(meta_losses[0]))):
+            log(f"encountered nan at step {step}")
+            break
+
+        if step % cfg.train.log_every == 0:
+            with Timer() as deploy_timer:
+                val = validation_fn(
+                    (params, inner_lrs), bundle.gt_params, bundle.coords,
+                    bundle.gt_vals,
+                )
+                jax.block_until_ready(val.mse)
+            deployment_time = deploy_timer.interval / cfg.task.n_eval
+
+            val_losses, val_meta_losses = c["validation_losses"](params, inner_lrs)
+
+            log(
+                "step: {}, meta_loss: {}, val_meta_loss: {}, val_mse: {}, "
+                "val_rel_err: {}, val_rel_err_std: {}, deployment_time: {}, "
+                "meta_grad_norm: {}, time: {}".format(
+                    step,
+                    np.mean(np.asarray(meta_losses[0])),
+                    np.mean(np.asarray(val_meta_losses[0])),
+                    float(val.mse),
+                    float(val.rel_err),
+                    float(val.rel_err_std),
+                    deployment_time,
+                    float(meta_grad_norm),
+                    t.interval,
+                )
+            )
+            if metrics is not None:
+                metrics.log(
+                    step,
+                    meta_loss=np.mean(np.asarray(meta_losses[0])),
+                    val_meta_loss=np.mean(np.asarray(val_meta_losses[0])),
+                    val_mse=val.mse,
+                    val_rel_err=val.rel_err,
+                    val_rel_err_std=val.rel_err_std,
+                    per_dim_rel_err=val.per_dim_rel_err,
+                    per_time_step_error=val.t_rel_sq_err,
+                    deployment_time=deployment_time,
+                    meta_grad_norm=meta_grad_norm,
+                    step_time=t.interval,
+                    per_step_losses=np.mean(np.asarray(losses), axis=0),
+                )
+
+        if path is not None and step > 0 and step % cfg.train.checkpoint_every == 0:
+            ckpt.save_checkpoint(path, step, {
+                "params": params, "inner_lrs": inner_lrs,
+                "opt_state": opt_state, "lr_opt_state": lr_opt_state,
+                "prng_key": key,
+            })
+
+    if path is not None:
+        ckpt.save_checkpoint(path, step, {
+            "params": params, "inner_lrs": inner_lrs,
+            "opt_state": opt_state, "lr_opt_state": lr_opt_state,
+            "prng_key": key,
+        })
+    return params, inner_lrs

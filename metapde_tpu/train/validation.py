@@ -1,0 +1,144 @@
+"""Ground-truth harness + validation metrics.
+
+Re-design of the reference's validation stack (src/util/trainer_util.py:
+get_ground_truth_points:36-75, vmap_validation_error:501-577) with the key
+TPU difference: ground-truth solutions are jit-compatible pytrees evaluated
+on device (the reference loops point-by-point through FEniCS on the host).
+
+Metric semantics preserved exactly:
+- val_mse: mean squared error of the k-step-adapted field vs ground truth at
+  validation coords, over all eval tasks.
+- rel_sq_err: err^2 / mean(gt^2 over points) (trainer_util.py:554-555).
+- per-dim relative error, std across tasks, per-timestep error for
+  td_burgers (trainer_util.py:558-568).
+- hyper_elasticity left/right symmetry disambiguation: also evaluate the
+  x-mirrored field (x -> 1-x, u_x -> -u_x) and keep the better branch per
+  task (trainer_util.py:525-549).
+"""
+
+from functools import partial
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.trees import tree_stack, tree_unstack
+
+
+class GroundTruthBundle(NamedTuple):
+    gts: object           # stacked ground-truth pytree, leading axis = n_eval
+    gt_vals: jnp.ndarray  # [n_eval, V, out_dim]
+    coords: jnp.ndarray   # [n_eval, V, in_dim]
+    gt_params: object     # stacked task params
+
+
+def get_ground_truth(pde, gt_params_stacked, key, n_points, resolution):
+    """Solve each eval task with the JAX-native solver and tabulate values at
+    sampled validation coords (reference trainer_util.py:36-75)."""
+    params_list = tree_unstack(gt_params_stacked)
+    keys = jax.random.split(key, len(params_list))
+
+    gts, coords, vals = [], [], []
+    for params, k in zip(params_list, keys):
+        gt = pde.solve(params, resolution=resolution)
+        pts = pde.sample_validation_points(k, n_points, params, gt)
+        v = jax.vmap(lambda x: pde.evaluate_gt(gt, x))(pts)
+        if v.ndim == 1:
+            v = v[:, None]
+        gts.append(gt)
+        coords.append(pts)
+        vals.append(v)
+
+    return GroundTruthBundle(
+        gts=tree_stack(gts),
+        gt_vals=jnp.stack(vals),
+        coords=jnp.stack(coords),
+        gt_params=gt_params_stacked,
+    )
+
+
+class ValidationResult(NamedTuple):
+    mse: jnp.ndarray
+    norms: jnp.ndarray            # per-dim mean of gt^2
+    rel_err: jnp.ndarray          # mean relative squared error
+    per_dim_rel_err: jnp.ndarray
+    rel_err_std: jnp.ndarray      # std of per-task rel err
+    t_rel_sq_err: Optional[jnp.ndarray]  # per-timestep (td_burgers) or None
+
+
+def make_validation_fn(
+    pde,
+    make_coef_func: Callable,
+    n_eval: int,
+    num_tsteps: Optional[int] = None,
+    symmetry: bool = False,
+):
+    """Build a jitted validation-error function.
+
+    make_coef_func: (key, model, task_params, coords) -> [V] or [V, out]
+    values of the adapted model at coords (reference make_coef_func,
+    maml_pde.py:186-193).
+    """
+
+    def validation_error(model, gt_params, coords, gt_vals) -> ValidationResult:
+        keys = jax.random.split(jax.random.PRNGKey(0), n_eval)
+        coefs = jax.vmap(make_coef_func, (0, None, 0, 0))(
+            keys, model, gt_params, coords
+        )
+        coefs = coefs.reshape(coefs.shape[0], coefs.shape[1], -1)
+        gt = gt_vals.reshape(coefs.shape)
+
+        if symmetry:
+            # hyper_elasticity: the compressed porous sheet solution is
+            # x-mirror symmetric; score both branches (trainer_util.py:525-549)
+            err_left = coefs - gt
+            mse_left = jnp.mean(err_left ** 2, axis=(1, 2))
+
+            coords_m = coords.at[:, :, 0].set(1.0 - coords[:, :, 0])
+            coefs_m = jax.vmap(make_coef_func, (0, None, 0, 0))(
+                keys, model, gt_params, coords_m
+            )
+            coefs_m = coefs_m.reshape(coefs.shape)
+            coefs_m = coefs_m.at[:, :, 0].multiply(-1.0)
+            err_right = coefs_m - gt
+            mse_right = jnp.mean(err_right ** 2, axis=(1, 2))
+
+            use_right = (mse_left > mse_right)[:, None, None]
+            err = jnp.where(use_right, err_right, err_left)
+            # the reference's take_min returns mse_left on both branches and
+            # sums it (trainer_util.py:538-547); rel_err below uses the
+            # branch-selected err, which is what the paper reports
+            mse = jnp.sum(mse_left)
+        else:
+            err = coefs - gt
+            mse = jnp.mean(err ** 2)
+
+        normalizer = jnp.mean(gt ** 2, axis=1, keepdims=True)  # [T,1,D]
+        rel_sq_err = err ** 2 / normalizer.mean(axis=2, keepdims=True)
+
+        t_rel = None
+        if num_tsteps is not None:
+            # per-timestep error: validation coords cycle through the
+            # solver's time grid (trainer_util.py:558-568)
+            tile_idx = coords.shape[1] // num_tsteps
+            base = jnp.arange(tile_idx) * num_tsteps
+            t_errs = []
+            for i in range(num_tsteps):
+                idx = base + i
+                t_err = err[:, idx, :]
+                t_norm = jnp.mean(gt[:, idx, :] ** 2, axis=1, keepdims=True)
+                t_errs.append(
+                    jnp.mean(t_err ** 2 / t_norm.mean(axis=2, keepdims=True))
+                )
+            t_rel = jnp.stack(t_errs)
+
+        return ValidationResult(
+            mse=mse,
+            norms=jnp.mean(normalizer, axis=(0, 1)),
+            rel_err=jnp.mean(rel_sq_err),
+            per_dim_rel_err=jnp.mean(rel_sq_err, axis=(0, 1)),
+            rel_err_std=jnp.std(jnp.mean(rel_sq_err, axis=(1, 2))),
+            t_rel_sq_err=t_rel,
+        )
+
+    return jax.jit(validation_error)
