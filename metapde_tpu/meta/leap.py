@@ -38,6 +38,25 @@ class LeapDef(NamedTuple):
     stabilize: bool     # d_loss <- -|d_loss|
     inner_grad_clip: float
     remat: bool = False  # first-order: remat rarely needed
+    # collocation-point mesh axis (see maml.MamlDef.pt_axis): loss fns return
+    # their LOCAL point-shard loss; the engine pmeans over this axis
+    pt_axis: str = None
+
+
+def _pt_mean(leap_def, tree):
+    if leap_def.pt_axis is None:
+        return tree
+    return jax.tree_util.tree_map(
+        lambda x: jax.lax.pmean(x, leap_def.pt_axis), tree
+    )
+
+
+def _pt_vary(leap_def, tree):
+    if leap_def.pt_axis is None:
+        return tree
+    return jax.tree_util.tree_map(
+        lambda x: jax.lax.pcast(x, (leap_def.pt_axis,), to="varying"), tree
+    )
 
 
 def get_meta_grad_increment(leap_def: LeapDef, new_params, params, new_loss, loss, grad):
@@ -77,13 +96,18 @@ def leap_inner_step(leap_def: LeapDef, key, params, opt_state, loss_fn, meta_gra
     """One inner step + meta-grad accumulator update (reference leap.py:49-102)."""
     k1, k2 = jax.random.split(key, 2)
     (loss, _aux), grad = jax.value_and_grad(loss_fn, argnums=1, has_aux=True)(k1, params)
+    loss = _pt_mean(leap_def, loss)
+    grad = _pt_vary(leap_def, _pt_mean(leap_def, grad))
     grad, _ = clip_by_global_norm(grad, leap_def.inner_grad_clip)
     updates, opt_state = leap_def.inner_opt.update(grad, opt_state, params)
     new_params = optax.apply_updates(params, updates)
 
     new_loss, new_aux = loss_fn(k2, new_params)
+    new_loss = _pt_mean(leap_def, new_loss)
+    new_aux = _pt_mean(leap_def, new_aux)
     increment = get_meta_grad_increment(
-        leap_def, new_params, params, new_loss, loss, grad
+        leap_def, new_params, params,
+        _pt_vary(leap_def, new_loss), _pt_vary(leap_def, loss), grad,
     )
     meta_grad_accum = jax.tree_util.tree_map(
         lambda x, y: x + y, meta_grad_accum, increment
@@ -100,7 +124,8 @@ def single_task_rollout(leap_def: LeapDef, key, initial_params, loss_fn):
     loss0_key, inner_key = jax.random.split(key, 2)
     inner_keys = jax.random.split(inner_key, leap_def.inner_steps)
 
-    loss0, _aux0 = loss_fn(loss0_key, initial_params)
+    initial_params = _pt_vary(leap_def, initial_params)
+    loss0 = _pt_mean(leap_def, loss_fn(loss0_key, initial_params)[0])
     opt_state = leap_def.inner_opt.init(initial_params)
     meta_grad_accum = jax.tree_util.tree_map(jnp.zeros_like, initial_params)
 
@@ -121,6 +146,9 @@ def single_task_rollout(leap_def: LeapDef, key, initial_params, loss_fn):
         body_fn, carry0, inner_keys
     )
     losses = jnp.concatenate([jnp.reshape(loss0, (1,)), losses])
+    # trajectories are identical across pt shards (updates are pmean'd), so
+    # this pmean exactly converts the accumulator's type back to pt-invariant
+    meta_grad_accum = _pt_mean(leap_def, meta_grad_accum)
     return final_params, meta_grad_accum, losses
 
 

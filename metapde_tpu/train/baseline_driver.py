@@ -1,0 +1,85 @@
+"""Classical-solver baseline sweep (reference: src/fenics_baseline.py:57-177).
+
+Times and validates the JAX-native ground-truth solvers across resolution
+grids against a high-resolution reference solve of the same tasks, producing
+the accuracy-vs-time Pareto data the paper compares meta-learned deployment
+against (resultAnalysis.ipynb cells 3/13/20; reference protocol:
+high-res ground truth at FLAGS.ground_truth_resolution, then loops over
+spatial_resolutions x boundary/time resolutions re-solving + timing).
+
+Results: errors_by_resolution.json (+ .npy-compatible dict) in the expt dir;
+metric semantics = validation_error (fenics_baseline.py:95-127): mean squared
+error and relative squared error at validation coords, averaged over n_eval
+tasks.
+"""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..pdes import get_pde
+from ..utils import Timer, tree_unstack
+from .metrics import prepare_logging
+
+
+def run(cfg: Config, spatial_resolutions=(4, 8, 16, 32)):
+    out_dir = cfg.train.out_dir or f"{cfg.task.pde}_solver_baseline"
+    path, log, _ = prepare_logging(out_dir, cfg.train.expt_name)
+    log(cfg.to_json())
+
+    pde = get_pde(cfg.task)
+    key = jax.random.PRNGKey(cfg.seed)
+    key, gt_key, pts_key = jax.random.split(key, 3)
+    gt_keys = jax.random.split(gt_key, cfg.task.n_eval)
+    gt_params = jax.vmap(pde.sample_params)(gt_keys)
+    params_list = tree_unstack(gt_params)
+
+    # high-resolution reference solves
+    ref_res = cfg.solver.ground_truth_resolution
+    log(f"reference solves at resolution {ref_res}")
+    ref_vals, coords = [], []
+    pts_keys = jax.random.split(pts_key, len(params_list))
+    for params, k in zip(params_list, pts_keys):
+        gt = pde.solve(params, resolution=ref_res)
+        pts = pde.sample_validation_points(
+            k, cfg.task.validation_points, params, gt
+        )
+        v = jax.vmap(lambda x: pde.evaluate_gt(gt, x))(pts)
+        ref_vals.append(np.asarray(v).reshape(v.shape[0], -1))
+        coords.append(pts)
+
+    results = {}
+    for res in spatial_resolutions:
+        if res >= ref_res:
+            continue
+        errs, times = [], []
+        # warm-up compile (excluded from timing, matching the reference's
+        # per-solve CPU timing discipline)
+        _ = jax.block_until_ready(
+            pde.solve(params_list[0], resolution=res)
+        )
+        for params, pts, ref in zip(params_list, coords, ref_vals):
+            with Timer() as t:
+                gt = pde.solve(params, resolution=res)
+                v = jax.vmap(lambda x: pde.evaluate_gt(gt, x))(pts)
+                jax.block_until_ready(v)
+            v = np.asarray(v).reshape(ref.shape)
+            err = v - ref
+            normalizer = np.mean(ref ** 2, axis=0, keepdims=True).mean()
+            errs.append(float(np.mean(err ** 2 / max(normalizer, 1e-12))))
+            times.append(t.interval)
+        results[str(res)] = {
+            "rel_mse": float(np.mean(errs)),
+            "rel_mse_std": float(np.std(errs)),
+            "time_per_solve": float(np.mean(times)),
+        }
+        log(f"res {res}: rel_mse {np.mean(errs):.3e} @ {np.mean(times):.4f}s/solve")
+
+    if path is not None:
+        with open(os.path.join(path, "errors_by_resolution.json"), "w") as f:
+            json.dump(results, f, indent=2)
+    return results

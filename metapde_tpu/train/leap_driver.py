@@ -1,0 +1,256 @@
+"""LEAP meta-training driver (reference: src/leap_pde.py:51-399).
+
+Same shape as the MAML driver with the reference's differences preserved:
+- single task loss fn (no inner/outer split), Adam inner optimizer
+  (leap_pde.py:87), no learned LRs.
+- first-order meta-gradient: the LEAP accumulator rides the scan carry, so
+  memory is independent of inner_steps (60-80 in the paper configs).
+- norm / loss_in_distance / stabilize all on (leap_pde.py:89-97).
+"""
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..config import Config
+from ..meta import leap
+from ..models import make_field
+from ..parallel.mesh import POINT_AXIS, make_mesh
+from ..parallel.sharding import make_sharded_leap_grad_fn
+from ..pdes import get_pde
+from ..utils import Timer, global_norm
+from . import checkpoints as ckpt
+from .metrics import prepare_logging
+from .optimizers import get_optimizer
+from .validation import get_ground_truth, make_validation_fn
+
+
+def build(cfg: Config):
+    pde = get_pde(cfg.task)
+    model_cfg = dataclasses.replace(
+        cfg.model, in_dim=pde.in_dim, out_dim=pde.out_dim,
+        squeeze_scalar=pde.scalar,
+    )
+    field = make_field(model_cfg)
+
+    def loss_fn(field_fn, points, params):
+        boundary_losses, domain_losses = pde.loss_fn(field_fn, points, params)
+        loss = cfg.task.bc_weight * sum(boundary_losses.values()) + sum(
+            domain_losses.values()
+        )
+        return loss, {**boundary_losses, **domain_losses}
+
+    n_pt = cfg.mesh.n_point_shards
+
+    def make_task_loss_fn_factory(pt_sharded: bool):
+        def make_task_loss_fn(key):
+            task_params = pde.sample_params(key)
+
+            def task_loss(key, field_params):
+                n = cfg.task.inner_points
+                if pt_sharded:
+                    key = jax.random.fold_in(key, jax.lax.axis_index(POINT_AXIS))
+                    n = n // n_pt
+                pts = pde.sample_points(key, n, task_params)
+                return loss_fn(
+                    lambda x: field.apply(field_params, x), pts, task_params
+                )
+
+            return task_loss
+
+        return make_task_loss_fn
+
+    def _make_leap_def(pt_sharded: bool):
+        return leap.LeapDef(
+            inner_opt=optax.adam(cfg.leap.inner_lr, b1=0.9, b2=0.99),
+            make_task_loss_fn=make_task_loss_fn_factory(pt_sharded),
+            inner_steps=cfg.leap.inner_steps,
+            n_batch_tasks=cfg.leap.bsize,
+            norm=cfg.leap.norm,
+            loss_in_distance=cfg.leap.loss_in_distance,
+            stabilize=cfg.leap.stabilize,
+            inner_grad_clip=cfg.leap.inner_grad_clip,
+            pt_axis=POINT_AXIS if pt_sharded else None,
+        )
+
+    leap_def = _make_leap_def(False)
+
+    key = jax.random.PRNGKey(cfg.seed)
+    key, init_key = jax.random.split(key)
+    init_params = field.init(init_key)
+
+    outer_opt = get_optimizer(cfg.train.optimizer, cfg.leap.outer_lr)
+
+    use_mesh = cfg.mesh.n_task_shards > 1 or cfg.mesh.n_point_shards > 1
+    if use_mesh:
+        mesh = make_mesh(cfg.mesh.n_task_shards, cfg.mesh.n_point_shards)
+        grad_fn = make_sharded_leap_grad_fn(_make_leap_def(n_pt > 1), mesh)
+    else:
+        mesh = None
+        grad_fn = jax.jit(
+            lambda key, params: leap.multi_task_grad_and_losses(
+                leap_def, key, params
+            )
+        )
+
+    @jax.jit
+    def train_step(key, params, opt_state):
+        meta_grad, losses = grad_fn(key, params)
+        meta_grad_norm = global_norm(meta_grad)
+        scale = jnp.where(
+            meta_grad_norm > cfg.leap.grad_clip,
+            cfg.leap.grad_clip / jnp.maximum(meta_grad_norm, 1e-30),
+            1.0,
+        )
+        meta_grad = jax.tree_util.tree_map(lambda g: g * scale, meta_grad)
+        updates, opt_state = outer_opt.update(meta_grad, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, losses, meta_grad_norm
+
+    def get_final_model(key, params, task_params, inner_steps: int):
+        """k-step Adam adaptation from the init (leap_pde.py:140-156)."""
+        if inner_steps == 0:
+            return params
+        task_loss = leap_def.make_task_loss_fn  # build from params directly
+
+        def loss_for_task(key, fp):
+            pts = pde.sample_points(key, cfg.task.inner_points, task_params)
+            return loss_fn(lambda x: field.apply(fp, x), pts, task_params)
+
+        temp_def = leap_def._replace(inner_steps=inner_steps)
+        final_params, _, _ = leap.single_task_rollout(
+            temp_def, key, params, loss_for_task
+        )
+        return final_params
+
+    def make_coef_func(key, params, task_params, coords,
+                       inner_steps: Optional[int] = None):
+        k = leap_def.inner_steps if inner_steps is None else inner_steps
+        final_params = get_final_model(key, params, task_params, k)
+        return jnp.squeeze(field.apply(final_params, coords))
+
+    @jax.jit
+    def validation_losses(params):
+        _, losses = leap.multi_task_grad_and_losses(
+            leap_def, jax.random.PRNGKey(0), params
+        )
+        return losses
+
+    return dict(
+        pde=pde,
+        field=field,
+        model_cfg=model_cfg,
+        leap_def=leap_def,
+        loss_fn=loss_fn,
+        init_params=init_params,
+        outer_opt=outer_opt,
+        train_step=train_step,
+        get_final_model=get_final_model,
+        make_coef_func=make_coef_func,
+        validation_losses=validation_losses,
+        mesh=mesh,
+        key=key,
+    )
+
+
+def run(cfg: Config):
+    out_dir = cfg.train.out_dir or f"{cfg.task.pde}_leap_results"
+    path, log, metrics = prepare_logging(out_dir, cfg.train.expt_name)
+    log(cfg.to_json())
+    if path is not None:
+        with open(f"{path}/config.json", "w") as f:
+            f.write(cfg.to_json())
+
+    c = build(cfg)
+    pde = c["pde"]
+    params = c["init_params"]
+    key = c["key"]
+
+    if cfg.train.load_model_from_expt:
+        fname = ckpt.latest_checkpoint(cfg.train.load_model_from_expt)
+        if fname:
+            state = ckpt.load_checkpoint(fname)
+            params = jax.tree_util.tree_map(jnp.asarray, state["params"])
+            log(f"loaded checkpoint {fname}")
+
+    opt_state = c["outer_opt"].init(params)
+
+    key, gt_key, gt_points_key = jax.random.split(key, 3)
+    gt_keys = jax.random.split(gt_key, cfg.task.n_eval)
+    gt_params = jax.vmap(pde.sample_params)(gt_keys)
+    bundle = get_ground_truth(
+        pde, gt_params, gt_points_key, cfg.task.validation_points,
+        cfg.solver.ground_truth_resolution,
+    )
+    validation_fn = make_validation_fn(
+        pde,
+        partial(c["make_coef_func"], inner_steps=cfg.leap.inner_steps),
+        cfg.task.n_eval,
+        num_tsteps=cfg.task.num_tsteps if cfg.task.pde == "td_burgers" else None,
+        symmetry=cfg.task.pde == "hyper_elasticity",
+    )
+
+    train_step = c["train_step"]
+    for step in range(cfg.train.outer_steps):
+        key, subkey = jax.random.split(key)
+        with Timer() as t:
+            params, opt_state, losses, meta_grad_norm = train_step(
+                subkey, params, opt_state
+            )
+            jax.block_until_ready(params)
+
+        if np.isnan(np.mean(np.asarray(losses))):
+            log(f"encountered nan at step {step}")
+            break
+
+        if step % cfg.train.log_every == 0:
+            with Timer() as deploy_timer:
+                val = validation_fn(
+                    params, bundle.gt_params, bundle.coords, bundle.gt_vals
+                )
+                jax.block_until_ready(val.mse)
+            deployment_time = deploy_timer.interval / cfg.task.n_eval
+
+            val_losses = c["validation_losses"](params)
+            log(
+                "step: {}, meta_loss: {}, val_meta_loss: {}, val_mse: {}, "
+                "val_rel_err: {}, val_rel_err_std: {}, deployment_time: {}, "
+                "meta_grad_norm: {}, time: {}".format(
+                    step,
+                    np.mean(np.asarray(losses)[:, -1]),
+                    np.mean(np.asarray(val_losses)[:, -1]),
+                    float(val.mse), float(val.rel_err), float(val.rel_err_std),
+                    deployment_time, float(meta_grad_norm), t.interval,
+                )
+            )
+            if metrics is not None:
+                metrics.log(
+                    step,
+                    meta_loss=np.mean(np.asarray(losses)[:, -1]),
+                    val_meta_loss=np.mean(np.asarray(val_losses)[:, -1]),
+                    val_mse=val.mse,
+                    val_rel_err=val.rel_err,
+                    val_rel_err_std=val.rel_err_std,
+                    per_dim_rel_err=val.per_dim_rel_err,
+                    per_time_step_error=val.t_rel_sq_err,
+                    deployment_time=deployment_time,
+                    meta_grad_norm=meta_grad_norm,
+                    step_time=t.interval,
+                    per_step_losses=np.mean(np.asarray(losses), axis=0),
+                )
+
+        if path is not None and step > 0 and step % cfg.train.checkpoint_every == 0:
+            ckpt.save_checkpoint(path, step, {
+                "params": params, "opt_state": opt_state, "prng_key": key,
+            })
+
+    if path is not None:
+        ckpt.save_checkpoint(path, step, {
+            "params": params, "opt_state": opt_state, "prng_key": key,
+        })
+    return params

@@ -1,0 +1,244 @@
+"""Plain-PINN driver: fit one network to one PDE task, optionally starting
+from a meta-learned initialization (reference: src/nn_pde.py:47-507 and the
+hybrid src/nn_pde_maml.py).
+
+Reference semantics preserved:
+- n_eval and fixed_num_pdes are forced to 1 (nn_pde.py:51-52): every task
+  key resolves to the same PDE; the batch axis only varies collocation
+  points.
+- batch loss = SUM over the task batch of (bc_weight * boundary + domain)
+  losses (nn_pde.py:93-107).
+- per-loss-term gradient norms for diagnostics (get_grad_norms,
+  nn_pde.py:77-91).
+- deployment fine-tuning: --train.load_model_from_expt starts from the
+  latest checkpoint of a meta-training run (nn_pde.py:169-186); this is how
+  the paper's deployment accuracy-vs-time curves are produced
+  (pipeline/pipeline_poisson_maml.sh).
+- hybrid warm start (nn_pde_maml.py:178-241): when the loaded checkpoint
+  carries learned inner LRs and cfg.maml.inner_steps > 0, one MAML
+  adaptation rollout is applied before plain training begins.
+"""
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..config import Config
+from ..meta import maml
+from ..models import make_field
+from ..pdes import get_pde
+from ..utils import Timer, global_norm
+from . import checkpoints as ckpt
+from .metrics import prepare_logging
+from .optimizers import get_optimizer
+from .validation import get_ground_truth, make_validation_fn
+
+
+def build(cfg: Config):
+    # force single-task mode (reference nn_pde.py:51-52) — via config copy,
+    # never by mutating shared state
+    task_cfg = dataclasses.replace(cfg.task, n_eval=1, fixed_num_pdes=1)
+    cfg = dataclasses.replace(cfg, task=task_cfg)
+
+    pde = get_pde(cfg.task)
+    model_cfg = dataclasses.replace(
+        cfg.model, in_dim=pde.in_dim, out_dim=pde.out_dim,
+        squeeze_scalar=pde.scalar,
+    )
+    field = make_field(model_cfg)
+
+    def loss_fn(field_fn, points, params):
+        boundary_losses, domain_losses = pde.loss_fn(field_fn, points, params)
+        loss = cfg.task.bc_weight * sum(boundary_losses.values()) + sum(
+            domain_losses.values()
+        )
+        return loss, {**boundary_losses, **domain_losses}
+
+    def task_loss_fn(key, field_params):
+        k1, k2 = jax.random.split(key, 2)
+        params = pde.sample_params(k1)
+        points = pde.sample_points(k2, cfg.task.outer_points, params)
+        return loss_fn(lambda x: field.apply(field_params, x), points, params)
+
+    def batch_loss_fn(key, field_params):
+        keys = jax.random.split(key, max(cfg.maml.bsize, 1))
+        loss, loss_dict = jax.vmap(task_loss_fn, (0, None))(keys, field_params)
+        loss_aux = {k: jnp.mean(v) for k, v in loss_dict.items()}
+        return jnp.sum(loss), loss_aux
+
+    opt = get_optimizer(cfg.train.optimizer, cfg.maml.outer_lr)
+
+    @jax.jit
+    def train_step(key, params, opt_state):
+        (loss, loss_aux), grads = jax.value_and_grad(
+            batch_loss_fn, argnums=1, has_aux=True
+        )(key, params)
+        grad_norm = global_norm(grads)
+        scale = jnp.where(
+            grad_norm > cfg.maml.grad_clip,
+            cfg.maml.grad_clip / jnp.maximum(grad_norm, 1e-30),
+            1.0,
+        )
+        grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, loss_aux, grad_norm
+
+    @jax.jit
+    def get_grad_norms(key, params):
+        """Per-loss-term value + grad norm (reference nn_pde.py:77-91)."""
+        _, loss_dict = batch_loss_fn(key, params)
+        out = {}
+        for k in loss_dict:
+            val, g = jax.value_and_grad(
+                lambda p: batch_loss_fn(key, p)[1][k]
+            )(params)
+            out[k] = (val, global_norm(g))
+        return out
+
+    def make_coef_func(key, params, task_params, coords):
+        # no adaptation: the model itself is the solution (nn_pde.py:110-121)
+        return jnp.squeeze(field.apply(params, coords))
+
+    def maml_warmup(key, params, inner_lrs):
+        """One k-step MAML adaptation from a meta init (nn_pde_maml.py:178-241)."""
+        task_key, rollout_key = jax.random.split(key)
+        task_params = pde.sample_params(task_key)
+
+        def inner_loss(key, fp):
+            pts = pde.sample_points(key, cfg.task.inner_points, task_params)
+            return loss_fn(lambda x: field.apply(fp, x), pts, task_params)
+
+        maml_def = maml.MamlDef(
+            inner_opt=optax.sgd(cfg.maml.inner_lr),
+            make_task_loss_fns=lambda k: (inner_loss, inner_loss),
+            inner_steps=cfg.maml.inner_steps,
+            n_batch_tasks=1,
+            softplus_lrs=True,
+            outer_loss_decay=cfg.maml.outer_loss_decay,
+            inner_grad_clip=cfg.maml.inner_grad_clip,
+        )
+        lrs = jax.tree_util.tree_map(
+            lambda x: x[: cfg.maml.inner_steps], inner_lrs
+        )
+        final_params, _ = maml.single_task_rollout(
+            maml_def, rollout_key, params, inner_loss, lrs
+        )
+        return final_params
+
+    key = jax.random.PRNGKey(cfg.seed)
+    key, init_key = jax.random.split(key)
+    init_params = field.init(init_key)
+
+    return dict(
+        cfg=cfg,
+        pde=pde,
+        field=field,
+        model_cfg=model_cfg,
+        loss_fn=loss_fn,
+        batch_loss_fn=jax.jit(batch_loss_fn),
+        train_step=train_step,
+        get_grad_norms=get_grad_norms,
+        make_coef_func=make_coef_func,
+        maml_warmup=maml_warmup,
+        opt=opt,
+        init_params=init_params,
+        key=key,
+    )
+
+
+def run(cfg: Config, maml_warmup: bool = False):
+    out_dir = cfg.train.out_dir or f"{cfg.task.pde}_nn_results"
+    path, log, metrics = prepare_logging(out_dir, cfg.train.expt_name)
+    log(cfg.to_json())
+
+    c = build(cfg)
+    cfg = c["cfg"]
+    pde = c["pde"]
+    params = c["init_params"]
+    key = c["key"]
+
+    inner_lrs = None
+    if cfg.train.load_model_from_expt:
+        fname = ckpt.latest_checkpoint(cfg.train.load_model_from_expt)
+        if fname:
+            state = ckpt.load_checkpoint(fname)
+            params = jax.tree_util.tree_map(jnp.asarray, state["params"])
+            if state.get("inner_lrs") is not None:
+                inner_lrs = jax.tree_util.tree_map(
+                    jnp.asarray, state["inner_lrs"]
+                )
+            log(f"loaded checkpoint {fname}")
+
+    if maml_warmup and inner_lrs is not None:
+        key, wk = jax.random.split(key)
+        params = c["maml_warmup"](wk, params, inner_lrs)
+        log("applied MAML warm-up adaptation")
+
+    opt_state = c["opt"].init(params)
+
+    key, gt_key, gt_points_key = jax.random.split(key, 3)
+    gt_keys = jax.random.split(gt_key, cfg.task.n_eval)
+    gt_params = jax.vmap(pde.sample_params)(gt_keys)
+    bundle = get_ground_truth(
+        pde, gt_params, gt_points_key, cfg.task.validation_points,
+        cfg.solver.ground_truth_resolution,
+    )
+    validation_fn = make_validation_fn(
+        pde, c["make_coef_func"], cfg.task.n_eval,
+        num_tsteps=cfg.task.num_tsteps if cfg.task.pde == "td_burgers" else None,
+        symmetry=cfg.task.pde == "hyper_elasticity",
+    )
+
+    train_step = c["train_step"]
+    for step in range(cfg.train.outer_steps):
+        key, subkey = jax.random.split(key)
+        with Timer() as t:
+            params, opt_state, loss, loss_aux, grad_norm = train_step(
+                subkey, params, opt_state
+            )
+            jax.block_until_ready(params)
+
+        if np.isnan(float(loss)):
+            log(f"encountered nan at step {step}")
+            break
+
+        if step % cfg.train.log_every == 0:
+            val = validation_fn(
+                params, bundle.gt_params, bundle.coords, bundle.gt_vals
+            )
+            log(
+                "step: {}, loss: {}, val_mse: {}, val_rel_err: {}, "
+                "grad_norm: {}, time: {}".format(
+                    step, float(loss), float(val.mse), float(val.rel_err),
+                    float(grad_norm), t.interval,
+                )
+            )
+            if metrics is not None:
+                metrics.log(
+                    step,
+                    loss=loss,
+                    val_mse=val.mse,
+                    val_rel_err=val.rel_err,
+                    val_rel_err_std=val.rel_err_std,
+                    per_time_step_error=val.t_rel_sq_err,
+                    grad_norm=grad_norm,
+                    step_time=t.interval,
+                    **{k: float(v) for k, v in loss_aux.items()},
+                )
+
+        if (cfg.train.measure_grad_norm_every > 0
+                and step % cfg.train.measure_grad_norm_every == 0):
+            norms = c["get_grad_norms"](subkey, params)
+            log("loss vals and grad norms: ",
+                {k: (float(v[0]), float(v[1])) for k, v in norms.items()})
+
+    if path is not None:
+        ckpt.save_checkpoint(path, step, {
+            "params": params, "opt_state": opt_state, "prng_key": key,
+        })
+    return params
