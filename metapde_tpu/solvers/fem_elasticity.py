@@ -105,6 +105,15 @@ def solve(
     newton_steps: int = 25,
     top_displacement: float = -0.12,
 ):
+    # HIGHEST matmul precision: TPU bf16-pass f32 matmuls destabilize CG
+    # (see fem_poisson.solve)
+    with jax.default_matmul_precision("highest"):
+        return _solve_impl(params, resolution, xmin, xmax, ymin, ymax,
+                           load_steps, newton_steps, top_displacement)
+
+
+def _solve_impl(params, resolution, xmin, xmax, ymin, ymax, load_steps,
+                newton_steps, top_displacement):
     source_params, bc_params, per_hole_params, n_holes = params
 
     tris = jnp.asarray(mesh_topology(resolution))

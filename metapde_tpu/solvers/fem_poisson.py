@@ -100,7 +100,18 @@ class PoissonGroundTruth(NamedTuple):
 
 @partial(jax.jit, static_argnames=("resolution", "max_newton_steps"))
 def solve(params, resolution: int = 16, max_newton_steps: int = 12):
-    """Solve one Poisson task; returns a PoissonGroundTruth pytree."""
+    """Solve one Poisson task; returns a PoissonGroundTruth pytree.
+
+    The whole solve runs under HIGHEST matmul precision: TPUs execute f32
+    matmuls as bf16 passes by default, which is enough to stall/explode
+    BiCGStab on the mapped star meshes (observed: diverged ground truths on
+    TPU while CPU converged; fixed by this pin).
+    """
+    with jax.default_matmul_precision("highest"):
+        return _solve_impl(params, resolution, max_newton_steps)
+
+
+def _solve_impl(params, resolution, max_newton_steps):
     source_params, bc_params, geo_params = params
     tris_np, nr, nt = mesh_topology(resolution)
     tris = jnp.asarray(tris_np)

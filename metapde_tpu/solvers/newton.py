@@ -67,13 +67,28 @@ def newton_krylov(
         _, rnorm, it = state
         return jnp.logical_and(it < max_steps, rnorm > target)
 
+    # candidate step fractions: full Newton first, damped fallbacks after —
+    # the matrix-free analog of PETSc's relaxation back-off
+    # (hyper_elasticity_fenics.py:177-183)
+    alphas = jnp.asarray([1.0, 0.5, 0.25, 0.1]) * damping
+
     def body(state):
-        u, _, it = state
+        u, rnorm_prev, it = state
         r = residual_fn(u)
         du = lin_solve(u, -r)
-        u = u + damping * du
-        rnorm = jnp.linalg.norm(residual_fn(u))
-        return u, rnorm, it + 1
+
+        def try_alpha(a):
+            rn = jnp.linalg.norm(residual_fn(u + a * du))
+            return jnp.where(jnp.isfinite(rn), rn, jnp.inf)
+
+        rnorms = jax.vmap(try_alpha)(alphas)
+        best = jnp.argmin(rnorms)
+        improved = rnorms[best] < rnorm_prev
+        u = jnp.where(improved, u + alphas[best] * du, u)
+        rnorm = jnp.where(improved, rnorms[best], rnorm_prev)
+        # no progress: bail out by jumping the counter to max_steps
+        it = jnp.where(improved, it + 1, jnp.int32(max_steps))
+        return u, rnorm, it
 
     u, rnorm, it = jax.lax.while_loop(cond, body, (u0, r0norm, jnp.int32(0)))
     return NewtonResult(u=u, residual_norm=rnorm, iterations=it)

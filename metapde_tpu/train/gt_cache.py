@@ -1,0 +1,47 @@
+"""Content-addressed ground-truth solution cache.
+
+Replaces the reference's dormant FEniCS XDMF solution cache
+(src/util/trainer_util.py:78-158: master_info.pickle mapping index ->
+(hparams, params), matched by np.isclose). Here ground truths are plain
+pytrees, so caching is an npz per key; the key is a hash of the solver
+hyperparameters and task parameters rounded to float32.
+"""
+
+import hashlib
+import os
+import pickle
+
+import jax
+import numpy as np
+
+
+def _key(pde_name: str, hparams: dict, params) -> str:
+    h = hashlib.sha256()
+    h.update(pde_name.encode())
+    h.update(repr(sorted(hparams.items())).encode())
+    for leaf in jax.tree_util.tree_leaves(params):
+        h.update(np.asarray(leaf, np.float32).tobytes())
+    return h.hexdigest()[:24]
+
+
+class GroundTruthCache:
+    def __init__(self, cache_dir: str):
+        self.cache_dir = cache_dir
+        os.makedirs(cache_dir, exist_ok=True)
+
+    def get_or_solve(self, pde, params, resolution: int, extra_hparams=None):
+        hparams = {"resolution": resolution, **(extra_hparams or {})}
+        key = _key(pde.name, hparams, params)
+        path = os.path.join(self.cache_dir, f"{pde.name}_{key}.pickle")
+        if os.path.exists(path):
+            with open(path, "rb") as f:
+                stored = pickle.load(f)
+            leaves, treedef = stored["leaves"], stored["treedef"]
+            return jax.tree_util.tree_unflatten(treedef, leaves)
+        gt = pde.solve(params, resolution=resolution)
+        gt = jax.tree_util.tree_map(lambda x: jax.device_get(x), gt)
+        leaves, treedef = jax.tree_util.tree_flatten(gt)
+        with open(path, "wb") as f:
+            pickle.dump({"leaves": leaves, "treedef": treedef}, f,
+                        protocol=pickle.HIGHEST_PROTOCOL)
+        return gt

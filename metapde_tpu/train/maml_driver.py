@@ -199,6 +199,36 @@ def build(cfg: Config):
     )
 
 
+def _render_viz(path, cfg, pde, c, model_and_lrs, bundle, step):
+    """Ground-truth comparison plots every viz_every steps
+    (reference maml_pde.py:404-433)."""
+    from ..utils.trees import tree_unstack
+    from . import viz
+
+    try:
+        gts_list = tree_unstack(bundle.gts)
+        params_list = tree_unstack(bundle.gt_params)
+        field = c["field"]
+        if cfg.task.pde == "td_burgers":
+            viz.plot_burgers_time_series(
+                path, pde, model_and_lrs, gts_list[0], params_list[0],
+                lambda k, m, p, s: c["get_final_model"](k, m, p, s),
+                cfg.maml.inner_steps,
+                lambda p, x: field.apply(p, x), step=step,
+            )
+        else:
+            dom = cfg.task.domain
+            viz.compare_plots_with_ground_truth(
+                path, pde, model_and_lrs, gts_list, params_list,
+                lambda k, m, p, s: c["get_final_model"](k, m, p, s),
+                inner_steps_list=(0, cfg.maml.inner_steps),
+                bounds=(dom.xmin, dom.xmax, dom.ymin, dom.ymax),
+                field_apply=lambda p, x: field.apply(p, x), step=step,
+            )
+    except Exception as e:  # viz must never kill training
+        print(f"viz failed at step {step}: {e}")
+
+
 def run(cfg: Config):
     """Full meta-training loop (reference main, maml_pde.py:61-439)."""
     out_dir = cfg.train.out_dir or f"{cfg.task.pde}_maml_results"
@@ -299,6 +329,10 @@ def run(cfg: Config):
                     step_time=t.interval,
                     per_step_losses=np.mean(np.asarray(losses), axis=0),
                 )
+
+        if (path is not None and cfg.train.viz_every > 0
+                and step % cfg.train.viz_every == 0):
+            _render_viz(path, cfg, pde, c, (params, inner_lrs), bundle, step)
 
         if path is not None and step > 0 and step % cfg.train.checkpoint_every == 0:
             ckpt.save_checkpoint(path, step, {

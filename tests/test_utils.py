@@ -1,0 +1,179 @@
+"""Tests for utilities: trees, config, checkpoints, TB writer, cache,
+analysis, debugging."""
+
+import glob
+import json
+import os
+import struct
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from metapde_tpu.config import Config, parse_overrides
+from metapde_tpu.utils.trees import (
+    clip_by_global_norm, dict_flatten, global_norm, tree_stack, tree_unstack,
+)
+
+
+def test_global_norm_and_clip():
+    tree = {"a": jnp.ones((3,)) * 3.0, "b": jnp.ones((4,)) * 4.0}
+    n = float(global_norm(tree))
+    assert np.isclose(n, np.sqrt(9 * 3 + 16 * 4))
+    clipped, norm = clip_by_global_norm(tree, 1.0)
+    assert np.isclose(float(global_norm(clipped)), 1.0, rtol=1e-5)
+    # below threshold: unchanged
+    same, _ = clip_by_global_norm(tree, 100.0)
+    assert np.allclose(same["a"], tree["a"])
+
+
+def test_tree_stack_unstack_roundtrip():
+    trees = [{"x": jnp.full((2,), i), "y": {"z": jnp.full((3,), -i)}}
+             for i in range(4)]
+    stacked = tree_stack(trees)
+    assert stacked["x"].shape == (4, 2)
+    back = tree_unstack(stacked)
+    for a, b in zip(trees, back):
+        assert np.allclose(a["x"], b["x"])
+        assert np.allclose(a["y"]["z"], b["y"]["z"])
+
+
+def test_dict_flatten():
+    out = dict_flatten({"a": {"b": 1, "c": 2}, "d": 3})
+    assert [k for k, _ in out] == ["a.b", "a.c", "d"]
+
+
+def test_config_overrides():
+    cfg = parse_overrides(Config(), [
+        "--task.pde=td_burgers", "--maml.bsize=8", "--maml.outer_lr=3e-4",
+        "--task.vary_source=false", "--task.domain.xmin=0.5",
+        "--train.load_model_from_expt=/tmp/x", "--task.fixed_num_pdes=1",
+    ])
+    assert cfg.task.pde == "td_burgers"
+    assert cfg.maml.bsize == 8
+    assert np.isclose(cfg.maml.outer_lr, 3e-4)
+    assert cfg.task.vary_source is False
+    assert np.isclose(cfg.task.domain.xmin, 0.5)
+    assert cfg.train.load_model_from_expt == "/tmp/x"
+    assert cfg.task.fixed_num_pdes == 1
+    with pytest.raises(KeyError):
+        parse_overrides(Config(), ["--nope.x=1"])
+    # serializes
+    json.loads(cfg.to_json())
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from metapde_tpu.train import checkpoints as ckpt
+
+    state = {"params": {"w": jnp.arange(6.0).reshape(2, 3)},
+             "inner_lrs": None, "prng_key": jax.random.PRNGKey(3)}
+    ckpt.save_checkpoint(str(tmp_path), 120, state)
+    ckpt.save_checkpoint(str(tmp_path), 400, state)
+    latest = ckpt.latest_checkpoint(str(tmp_path))
+    assert latest.endswith("checkpoint_step_400.pickle")
+    loaded = ckpt.load_checkpoint(latest)
+    assert loaded["step"] == 400
+    assert np.allclose(loaded["params"]["w"], state["params"]["w"])
+
+
+def test_tb_writer_records_parse(tmp_path):
+    from metapde_tpu.utils.tb_writer import EventWriter, _masked_crc
+
+    w = EventWriter(str(tmp_path), prefer_native=False)
+    w.scalar("val_loss", 0.5, 3)
+    w.histogram("weights", np.random.randn(100), 3)
+    w.close()
+    fname = glob.glob(str(tmp_path) + "/events*")[0]
+    with open(fname, "rb") as f:
+        n_records = 0
+        while True:
+            hdr = f.read(8)
+            if len(hdr) < 8:
+                break
+            (ln,) = struct.unpack("<Q", hdr)
+            (crc_h,) = struct.unpack("<I", f.read(4))
+            assert crc_h == _masked_crc(hdr)
+            payload = f.read(ln)
+            (crc_d,) = struct.unpack("<I", f.read(4))
+            assert crc_d == _masked_crc(payload)
+            n_records += 1
+    assert n_records == 3  # version + scalar + histogram
+
+
+def test_gt_cache_roundtrip(tmp_path):
+    from metapde_tpu.config import TaskConfig
+    from metapde_tpu.pdes import get_pde
+    from metapde_tpu.train.gt_cache import GroundTruthCache
+
+    pde = get_pde(TaskConfig(pde="poisson"))
+    params = pde.sample_params(jax.random.PRNGKey(0))
+    cache = GroundTruthCache(str(tmp_path))
+    gt1 = cache.get_or_solve(pde, params, resolution=2)
+    files = os.listdir(str(tmp_path))
+    assert len(files) == 1
+    gt2 = cache.get_or_solve(pde, params, resolution=2)  # hits cache
+    assert np.allclose(np.asarray(gt1.u_grid), np.asarray(gt2.u_grid))
+    # different params -> different entry
+    params2 = pde.sample_params(jax.random.PRNGKey(1))
+    cache.get_or_solve(pde, params2, resolution=2)
+    assert len(os.listdir(str(tmp_path))) == 2
+
+
+def test_analysis_summary(tmp_path):
+    from metapde_tpu.train.analysis import load_run, summarize
+
+    with open(tmp_path / "metrics.jsonl", "w") as f:
+        for i, err in enumerate([0.9, 0.5, 0.7]):
+            f.write(json.dumps({
+                "step": i * 100, "val_rel_err": err, "step_time": 0.1,
+            }) + "\n")
+    s = summarize(str(tmp_path))
+    assert s["best_step"] == 100
+    assert np.isclose(s["best_val_rel_err"], 0.5)
+    assert np.isclose(s["final_val_rel_err"], 0.7)
+
+
+def test_gradient_conditioned_field():
+    from metapde_tpu.config import FieldConfig
+    from metapde_tpu.models.gradient_conditioned import (
+        make_gradient_conditioned_field,
+    )
+
+    cfg = FieldConfig(num_layers=2, layer_size=16, siren=False,
+                      log_scale=False, in_dim=1, out_dim=1)
+    gc = make_gradient_conditioned_field(cfg, inner_steps=3, inner_lr=0.05,
+                                         learned_lrs=True)
+    params = gc.init(jax.random.PRNGKey(0))
+    assert "log_lrs" in params
+
+    x = jnp.linspace(0, 1, 16)[:, None]
+    target = jnp.sin(3 * x[:, 0])
+    inner_loss = lambda f: jnp.mean((f(x) - target) ** 2)
+
+    out = gc.apply(params, inner_loss, x)
+    assert out.shape == (16,)
+    # adaptation inside forward should reduce the loss vs base field
+    from metapde_tpu.models.siren import field_apply
+
+    base_loss = float(inner_loss(lambda y: field_apply(params["base"], y, cfg)))
+    adapted_loss = float(jnp.mean((out - target) ** 2))
+    assert adapted_loss < base_loss
+    # gradients flow through the adaptation to the base params
+    g = jax.grad(
+        lambda p: jnp.mean(gc.apply(p, inner_loss, x) ** 2)
+    )(params)
+    assert float(global_norm(g["base"])) > 0
+
+
+def test_key_lineage_checker():
+    from metapde_tpu.utils.debugging import KeyLineage
+
+    kl = KeyLineage()
+    key = jax.random.PRNGKey(0)
+    k1, k2 = kl.split(key, where="a")
+    with pytest.raises(RuntimeError):
+        kl.split(key, where="b")  # reuse detected
+    kl.use(k1)
+    with pytest.raises(RuntimeError):
+        kl.use(k1)
