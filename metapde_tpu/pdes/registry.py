@@ -31,7 +31,8 @@ class PdeDef(NamedTuple):
 
 
 def get_pde(cfg: TaskConfig) -> PdeDef:
-    """Build the PdeDef for cfg.pde in {poisson, td_burgers, hyper_elasticity}."""
+    """Build the PdeDef for cfg.pde in {poisson, td_burgers,
+    hyper_elasticity, steady_burgers}."""
     if cfg.pde == "poisson":
         from . import poisson
 
@@ -44,4 +45,8 @@ def get_pde(cfg: TaskConfig) -> PdeDef:
         from . import hyper_elasticity
 
         return hyper_elasticity.make_pde(cfg)
+    if cfg.pde == "steady_burgers":
+        from . import steady_burgers
+
+        return steady_burgers.make_pde(cfg)
     raise ValueError(f"unrecognized pde: {cfg.pde!r}")
