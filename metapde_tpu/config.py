@@ -85,6 +85,7 @@ class TaskConfig:
     sample_time_random: bool = True
     max_reynolds: float = 100.0
     burgers_formulation: str = "default"
+    burgers_gt_solver: str = "fv"  # "fv" (Godunov FV) or "fem" (implicit-Euler CG1)
     # hyper_elasticity specific (common_flags.py:63-64)
     max_holes: int = 12
     max_hole_size: float = 0.4

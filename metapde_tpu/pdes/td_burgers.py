@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import TaskConfig
-from ..solvers import fv_burgers
+from ..solvers import fem_td_burgers, fv_burgers
 from .burgers_formulations import get_formulation
 from .registry import PdeDef
 
@@ -140,7 +140,20 @@ def make_pde(cfg: TaskConfig) -> PdeDef:
             },
         )
 
+    use_fem_gt = cfg.burgers_gt_solver == "fem"
+
     def solve(params, resolution=None, boundary_points=None):
+        if use_fem_gt:
+            res = resolution if resolution is not None else 256
+            return fem_td_burgers.solve(
+                params,
+                resolution=res,
+                num_tsteps=cfg.num_tsteps,
+                ic_fn=form.ic_fn,
+                xmin=dom.xmin,
+                xmax=dom.xmax,
+                tmax=dom.tmax,
+            )
         res = resolution if resolution is not None else 512
         return fv_burgers.solve(
             params,
@@ -176,6 +189,8 @@ def make_pde(cfg: TaskConfig) -> PdeDef:
         sample_points_in_domain=sample_points_in_domain,
         loss_fn=loss_fn,
         solve=solve,
-        evaluate_gt=fv_burgers.evaluate,
+        evaluate_gt=(
+            fem_td_burgers.evaluate if use_fem_gt else fv_burgers.evaluate
+        ),
         sample_validation_points=sample_validation_points,
     )

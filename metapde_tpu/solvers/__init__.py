@@ -22,5 +22,6 @@ trainer_util.py:71).
 from . import fem_poisson  # noqa: F401
 from . import fem_elasticity  # noqa: F401
 from . import fem_steady_burgers  # noqa: F401
+from . import fem_td_burgers  # noqa: F401
 from . import fv_burgers  # noqa: F401
 from . import interpolation  # noqa: F401
