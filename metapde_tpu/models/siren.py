@@ -29,12 +29,35 @@ from ..config import FieldConfig
 from ..ops.fourier import fourier_feature_dim, fourier_features
 
 
+class BoundField:
+    """A field with params bound: a plain callable for the PdeDef loss
+    contract, additionally exposing the fused (value, grad, Hessian-diag)
+    path as `.vhd` when the family supports it — PDE losses sniff the
+    attribute and take the one-pass Taylor-mode route instead of
+    forward-over-reverse AD."""
+
+    __slots__ = ("params", "_apply", "vhd")
+
+    def __init__(self, field_def, params):
+        self.params = params
+        self._apply = field_def.apply
+        if field_def.apply_vhd is not None:
+            self.vhd = lambda x: field_def.apply_vhd(params, x)
+
+    def __call__(self, x):
+        return self._apply(self.params, x)
+
+
 class FieldDef(NamedTuple):
     """A neural-field family: init produces a params pytree, apply evaluates it."""
 
     init: Callable  # (key) -> params pytree
     apply: Callable  # (params, x) -> field values
     cfg: FieldConfig
+    apply_vhd: Callable = None  # (params, x[N,d]) -> (u, grad, hess_diag)
+
+    def bind(self, params) -> BoundField:
+        return BoundField(self, params)
 
 
 def _siren_uniform(key, shape, omega, dtype):
@@ -129,9 +152,107 @@ def field_apply(params, x, cfg: FieldConfig):
     return out
 
 
+def field_apply_vhd(params, x, cfg: FieldConfig):
+    """Fused forward pass computing (value, gradient, Hessian diagonal).
+
+    The TPU replacement for per-point forward-over-reverse AD in PDE
+    residuals: instead of grad + d JVP-of-grad passes per point (the
+    reference's jacfwd(jacrev) laplace_operator, field.py:54-72), one
+    Taylor-mode chain propagates (h, dh/dx_i, d2h/dx_i^2) through every
+    layer. All heavy work is [N*(2d+1), H] @ [H, H'] matmuls on the MXU;
+    the sin-activation rules are closed-form VPU elementwise:
+
+        affine  W,b:  h' = hW+b        J' = JW          D' = DW
+        sin(omega a): h = sin(omega a) J = omega cos(omega a) J'
+                      D = -omega^2 sin(omega a) J'^2 + omega cos(omega a) D'
+
+    The program is plain jnp, so inner grads and the second-order MAML
+    meta-gradient differentiate straight through it.
+
+    Args: x [N, in_dim]. Returns (u, g, hd):
+      scalar fields (out_dim=1, squeeze_scalar): u [N], g [N,d], hd [N,d]
+      vector fields: u [N,o], g [N,o,d], hd [N,o,d]  with hd_i = d2u/dx_i^2.
+    """
+    n, d = x.shape
+    h = x
+    # J [N, d, F]: J[n, i, f] = d h_f / d x_i ;  D likewise second derivative
+    J = jnp.broadcast_to(jnp.eye(d, dtype=x.dtype)[None], (n, d, d))
+    D = jnp.zeros_like(J)
+
+    if cfg.log_scale:
+        s = jnp.exp(params["log_in_scale"]).reshape(1, -1)
+        h = h * s
+        J = J * s[:, None, :]
+
+    if cfg.n_fourier is not None:
+        # octave features are elementwise in each coordinate j
+        # (ops/fourier.py): phi(h_j) in {h_j, sin(c h_j)/c, cos(c h_j)/c}
+        nf = cfg.n_fourier
+        scale = (2.0 ** jnp.arange(nf, dtype=x.dtype)).reshape(1, 1, -1)
+        he = h[:, :, None]
+        val = jnp.concatenate(
+            [he, jnp.sin(scale * he) / scale, jnp.cos(scale * he) / scale],
+            axis=-1,
+        )  # [N, d, 1+2nf]
+        one = jnp.ones_like(he)
+        dphi = jnp.concatenate(
+            [one, jnp.cos(scale * he), -jnp.sin(scale * he)], axis=-1
+        )
+        d2phi = jnp.concatenate(
+            [jnp.zeros_like(he), -scale * jnp.sin(scale * he),
+             -scale * jnp.cos(scale * he)], axis=-1,
+        )
+        # chain rule per parent coordinate j (J[:, :, j] is its tangent)
+        Jp, Dp = J[:, :, :, None], D[:, :, :, None]
+        J = (dphi[:, None] * Jp).reshape(n, d, -1)
+        D = (d2phi[:, None] * Jp ** 2 + dphi[:, None] * Dp).reshape(n, d, -1)
+        h = val.reshape(n, -1)
+
+    layers = params["layers"]
+    for layer in layers[:-1]:
+        w, b = layer["w"], layer["b"]
+        a = h @ w + b
+        Ja = jnp.einsum("nif,fg->nig", J, w)
+        Da = jnp.einsum("nif,fg->nig", D, w)
+        if cfg.siren:
+            sa = jnp.sin(cfg.omega * a)
+            ca = jnp.cos(cfg.omega * a)
+            h = sa
+            J = cfg.omega * ca[:, None, :] * Ja
+            D = (
+                -(cfg.omega ** 2) * sa[:, None, :] * Ja ** 2
+                + cfg.omega * ca[:, None, :] * Da
+            )
+        else:
+            sig = jax.nn.sigmoid(a)
+            sw = a * sig
+            d1 = sig * (1.0 + a * (1.0 - sig))
+            d2 = sig * (1.0 - sig) * (2.0 + a * (1.0 - 2.0 * sig))
+            h = sw
+            J = d1[:, None, :] * Ja
+            D = d2[:, None, :] * Ja ** 2 + d1[:, None, :] * Da
+
+    out_layer = layers[-1]
+    w, b = out_layer["w"], out_layer["b"]
+    u = h @ w + b                              # [N, o]
+    J = jnp.einsum("nif,fg->nig", J, w)        # [N, d, o]
+    D = jnp.einsum("nif,fg->nig", D, w)
+
+    if cfg.log_scale:
+        so = jnp.exp(params["log_out_scale"]).reshape(1, 1, -1)
+        u = u * so[0]
+        J = J * so
+        D = D * so
+
+    if cfg.out_dim == 1 and cfg.squeeze_scalar:
+        return u.sum(-1), J.sum(-1), D.sum(-1)  # [N], [N,d], [N,d]
+    return u, jnp.swapaxes(J, 1, 2), jnp.swapaxes(D, 1, 2)
+
+
 def make_field(cfg: FieldConfig) -> FieldDef:
     return FieldDef(
         init=lambda key: init_field_params(key, cfg),
         apply=lambda params, x: field_apply(params, x, cfg),
         cfg=cfg,
+        apply_vhd=lambda params, x: field_apply_vhd(params, x, cfg),
     )

@@ -122,9 +122,17 @@ def make_pde(cfg: TaskConfig) -> PdeDef:
         err_on_boundary = bc_vals - field_fn(points_on_boundary)
         loss_on_boundary = jnp.mean(err_on_boundary ** 2)
 
-        lap = vmap_weighted_laplacian(
-            points_in_domain, field_fn, lambda x: 1.0 + 0.1 * field_fn(x) ** 2
-        )
+        if hasattr(field_fn, "vhd"):
+            # fused Taylor-mode pass (models/siren.py field_apply_vhd):
+            # div((1+0.1u^2) grad u) = (1+0.1u^2) lap(u) + 0.2 u |grad u|^2
+            u, g, hd = field_fn.vhd(points_in_domain)
+            lap = (1.0 + 0.1 * u ** 2) * hd.sum(-1) \
+                + 0.2 * u * (g ** 2).sum(-1)
+        else:
+            lap = vmap_weighted_laplacian(
+                points_in_domain, field_fn,
+                lambda x: 1.0 + 0.1 * field_fn(x) ** 2,
+            )
         src = jax.vmap(partial(source, source_params))(points_in_domain)
         loss_in_domain = jnp.mean((lap - src) ** 2)
         return {"boundary_loss": loss_on_boundary}, {"domain_loss": loss_in_domain}

@@ -203,6 +203,14 @@ def make_pde(cfg: TaskConfig) -> PdeDef:
         (burgers_common.py:35-52)."""
         source_params = params[0]
         nu = 1.0 / source_params[0]
+
+        if hasattr(field_fn, "vhd"):
+            # fused pass: g [N,2,2] full Jacobian, hd [N,2,2] per-axis
+            # second derivatives; residual (u.grad)u - nu lap u
+            u, g, hd = field_fn.vhd(points_in_domain)
+            adv = jnp.einsum("nij,nj->ni", g, u)
+            return (adv - nu * hd.sum(-1)) ** 2
+
         ex = jnp.asarray([1.0, 0.0])
         ey = jnp.asarray([0.0, 1.0])
 

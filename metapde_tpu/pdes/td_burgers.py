@@ -103,6 +103,13 @@ def make_pde(cfg: TaskConfig) -> PdeDef:
         source_params, _ = params
         inv_re = 1.0 / source_params[0]
 
+        if hasattr(field_fn, "vhd"):
+            # fused pass: g = (u_x, u_t), hd = (u_xx, u_tt); residual
+            # u_t - ((1/Re) u_xx - u u_x)
+            u, g, hd = field_fn.vhd(points_in_domain)
+            res = g[:, 1] - (inv_re * hd[:, 0] - g[:, 0] * u)
+            return res ** 2
+
         def residual(x):
             u = field_fn(x)
             grad_u = jax.grad(lambda y: jnp.sum(field_fn(y)))(x)

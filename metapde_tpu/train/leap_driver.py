@@ -57,9 +57,7 @@ def build(cfg: Config):
                     key = jax.random.fold_in(key, jax.lax.axis_index(POINT_AXIS))
                     n = n // n_pt
                 pts = pde.sample_points(key, n, task_params)
-                return loss_fn(
-                    lambda x: field.apply(field_params, x), pts, task_params
-                )
+                return loss_fn(field.bind(field_params), pts, task_params)
 
             return task_loss
 
@@ -120,7 +118,7 @@ def build(cfg: Config):
 
         def loss_for_task(key, fp):
             pts = pde.sample_points(key, cfg.task.inner_points, task_params)
-            return loss_fn(lambda x: field.apply(fp, x), pts, task_params)
+            return loss_fn(field.bind(fp), pts, task_params)
 
         temp_def = leap_def._replace(inner_steps=inner_steps)
         final_params, _, _ = leap.single_task_rollout(

@@ -79,9 +79,7 @@ def build(cfg: Config):
                     )
                     n = n // n_pt
                 pts = pde.sample_points(key, n, task_params)
-                return loss_fn(
-                    lambda x: field.apply(field_params, x), pts, task_params
-                )
+                return loss_fn(field.bind(field_params), pts, task_params)
 
             inner_loss = lambda key, fp: point_loss(key, fp, cfg.task.inner_points)
             outer_loss = lambda key, fp: point_loss(key, fp, cfg.task.outer_points)
@@ -158,7 +156,7 @@ def build(cfg: Config):
         k1, k2 = jax.random.split(key, 2)
         pts = pde.sample_points(k1, cfg.task.inner_points, task_params)
         inner_loss_fn = lambda key, fp: loss_fn(
-            lambda x: field.apply(fp, x), pts, task_params
+            field.bind(fp), pts, task_params
         )
         lrs_k = jax.tree_util.tree_map(lambda x: x[:inner_steps], lrs)
         temp_def = maml_def._replace(inner_steps=inner_steps)

@@ -62,7 +62,7 @@ def build(cfg: Config):
         k1, k2 = jax.random.split(key, 2)
         params = pde.sample_params(k1)
         points = pde.sample_points(k2, cfg.task.outer_points, params)
-        return loss_fn(lambda x: field.apply(field_params, x), points, params)
+        return loss_fn(field.bind(field_params), points, params)
 
     def batch_loss_fn(key, field_params):
         keys = jax.random.split(key, max(cfg.maml.bsize, 1))
@@ -111,7 +111,7 @@ def build(cfg: Config):
 
         def inner_loss(key, fp):
             pts = pde.sample_points(key, cfg.task.inner_points, task_params)
-            return loss_fn(lambda x: field.apply(fp, x), pts, task_params)
+            return loss_fn(field.bind(fp), pts, task_params)
 
         maml_def = maml.MamlDef(
             inner_opt=optax.sgd(cfg.maml.inner_lr),
