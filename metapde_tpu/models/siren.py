@@ -36,13 +36,15 @@ class BoundField:
     attribute and take the one-pass Taylor-mode route instead of
     forward-over-reverse AD."""
 
-    __slots__ = ("params", "_apply", "vhd")
+    __slots__ = ("params", "_apply", "vhd", "vjac")
 
     def __init__(self, field_def, params):
         self.params = params
         self._apply = field_def.apply
         if field_def.apply_vhd is not None:
             self.vhd = lambda x: field_def.apply_vhd(params, x)
+        if field_def.apply_vjac is not None:
+            self.vjac = lambda x: field_def.apply_vjac(params, x)
 
     def __call__(self, x):
         return self._apply(self.params, x)
@@ -55,6 +57,7 @@ class FieldDef(NamedTuple):
     apply: Callable  # (params, x) -> field values
     cfg: FieldConfig
     apply_vhd: Callable = None  # (params, x[N,d]) -> (u, grad, hess_diag)
+    apply_vjac: Callable = None  # (params, x[N,d]) -> (u, jacobian)
 
     def bind(self, params) -> BoundField:
         return BoundField(self, params)
@@ -249,10 +252,72 @@ def field_apply_vhd(params, x, cfg: FieldConfig):
     return u, jnp.swapaxes(J, 1, 2), jnp.swapaxes(D, 1, 2)
 
 
+def field_apply_vjac(params, x, cfg: FieldConfig):
+    """Fused forward pass computing (value, Jacobian) — the first-order
+    slice of field_apply_vhd for losses that need only grad u (the
+    hyperelastic energy's deformation gradient F = I + grad u,
+    hyper_elasticity_common.py:23-27).
+
+    Args: x [N, in_dim]. Returns (u, g):
+      scalar fields: u [N], g [N,d]; vector fields: u [N,o], g [N,o,d].
+    """
+    n, d = x.shape
+    h = x
+    J = jnp.broadcast_to(jnp.eye(d, dtype=x.dtype)[None], (n, d, d))
+
+    if cfg.log_scale:
+        s = jnp.exp(params["log_in_scale"]).reshape(1, -1)
+        h = h * s
+        J = J * s[:, None, :]
+
+    if cfg.n_fourier is not None:
+        nf = cfg.n_fourier
+        scale = (2.0 ** jnp.arange(nf, dtype=x.dtype)).reshape(1, 1, -1)
+        he = h[:, :, None]
+        val = jnp.concatenate(
+            [he, jnp.sin(scale * he) / scale, jnp.cos(scale * he) / scale],
+            axis=-1,
+        )
+        dphi = jnp.concatenate(
+            [jnp.ones_like(he), jnp.cos(scale * he), -jnp.sin(scale * he)],
+            axis=-1,
+        )
+        J = (dphi[:, None] * J[:, :, :, None]).reshape(n, d, -1)
+        h = val.reshape(n, -1)
+
+    layers = params["layers"]
+    for layer in layers[:-1]:
+        w, b = layer["w"], layer["b"]
+        a = h @ w + b
+        Ja = jnp.einsum("nif,fg->nig", J, w)
+        if cfg.siren:
+            h = jnp.sin(cfg.omega * a)
+            J = cfg.omega * jnp.cos(cfg.omega * a)[:, None, :] * Ja
+        else:
+            sig = jax.nn.sigmoid(a)
+            h = a * sig
+            J = (sig * (1.0 + a * (1.0 - sig)))[:, None, :] * Ja
+
+    out_layer = layers[-1]
+    w, b = out_layer["w"], out_layer["b"]
+    u = h @ w + b
+    J = jnp.einsum("nif,fg->nig", J, w)
+
+    if cfg.log_scale:
+        so = jnp.exp(params["log_out_scale"]).reshape(1, 1, -1)
+        u = u * so[0]
+        J = J * so
+
+    if cfg.out_dim == 1 and cfg.squeeze_scalar:
+        return u.sum(-1), J.sum(-1)
+    return u, jnp.swapaxes(J, 1, 2)
+
+
 def make_field(cfg: FieldConfig) -> FieldDef:
     return FieldDef(
         init=lambda key: init_field_params(key, cfg),
         apply=lambda params, x: field_apply(params, x, cfg),
         cfg=cfg,
         apply_vhd=lambda params, x: field_apply_vhd(params, x, cfg),
+        apply_vjac=lambda params, x: field_apply_vjac(params, x, cfg),
     )

@@ -226,13 +226,22 @@ def make_pde(cfg: TaskConfig) -> PdeDef:
         shear_mod = young_mod / (2 * (1 + poisson_ratio))
         bulk_mod = young_mod / (3 * (1 - 2 * poisson_ratio))
 
-        def integrand(x):
-            F = deformation_gradient(x, field_fn)
+        def psi(F):
             J = jnp.linalg.det(F)
             Jinv = J ** (-2.0 / d)
-            Ic = jnp.trace(right_cauchygreen(x, field_fn))
+            Ic = jnp.trace(F @ F.T)
             return (shear_mod / 2) * (Jinv * Ic - d) \
                 + (bulk_mod / 2) * (J - 1) ** 2
+
+        if hasattr(field_fn, "vjac"):
+            # fused first-order pass (models/siren.py field_apply_vjac):
+            # F = I + grad u for the whole point batch in one matmul chain
+            _, g = field_fn.vjac(points_in_domain)
+            F = jnp.eye(2)[None] + g
+            return jax.vmap(psi)(F)
+
+        def integrand(x):
+            return psi(deformation_gradient(x, field_fn))
 
         return jax.vmap(integrand)(points_in_domain)
 

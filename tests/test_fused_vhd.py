@@ -63,14 +63,37 @@ def _task_cfg(pde):
             domain=DomainConfig(xmin=0.0, xmax=1.0, tmin=0.0, tmax=1.0),
             num_tsteps=11, sample_tsteps=8,
         )
+    if pde == "steady_burgers":
+        return TaskConfig(
+            pde="steady_burgers",
+            domain=DomainConfig(xmin=-1.0, xmax=1.0, ymin=-1.0, ymax=1.0),
+            max_holes=3, max_hole_size=0.3, max_reynolds=10.0,
+        )
     return TaskConfig(
-        pde="steady_burgers",
-        domain=DomainConfig(xmin=-1.0, xmax=1.0, ymin=-1.0, ymax=1.0),
-        max_holes=3, max_hole_size=0.3, max_reynolds=10.0,
+        pde="hyper_elasticity",
+        domain=DomainConfig(xmin=0.0, xmax=1.0, ymin=0.0, ymax=1.0),
+        max_holes=3, max_hole_size=0.5,
     )
 
 
-@pytest.mark.parametrize("pde_name", ["poisson", "td_burgers", "steady_burgers"])
+def test_vjac_matches_generic_ad():
+    cfg = FieldConfig(
+        num_layers=3, layer_size=32, in_dim=2, out_dim=2,
+        squeeze_scalar=False, n_fourier=2,
+    )
+    f = make_field(cfg)
+    p = f.init(jax.random.PRNGKey(0))
+    x = jax.random.uniform(jax.random.PRNGKey(1), (13, 2), minval=-1, maxval=1)
+    u, g = f.apply_vjac(p, x)
+    g_ref = jax.vmap(jax.jacfwd(lambda y: f.apply(p, y)))(x)
+    scale = float(jnp.max(jnp.abs(g_ref))) + 1e-8
+    assert float(jnp.max(jnp.abs(g - g_ref))) / scale < 2e-4
+    assert np.allclose(np.asarray(u), np.asarray(f.apply(p, x)), atol=1e-6)
+
+
+@pytest.mark.parametrize(
+    "pde_name", ["poisson", "td_burgers", "steady_burgers", "hyper_elasticity"]
+)
 def test_fused_loss_and_grads_match_generic(pde_name):
     cfg = _task_cfg(pde_name)
     pde = get_pde(cfg)
