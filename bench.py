@@ -2,7 +2,15 @@
 
 Runs the paper's flagship config (pipeline/pipleline_maml_meta.sh poisson:
 bsize 16, 5 inner steps, 1024 inner/outer collocation points, 3x64 SIREN
-omega=30) for a timed window and prints ONE JSON line.
+omega=30) and prints ONE JSON line.
+
+Protocol: the training computation is metapde_tpu's train_step_many — a
+lax.scan of full second-order MAML outer steps (fused Taylor-mode residuals,
+learned per-step inner LRs, grad clip, both optimizers) executed as one XLA
+computation per 100-step block. Timing is wall clock across 10 blocks with a
+forced host fetch of the per-step losses at the end; on the axon tunnel,
+block_until_ready can return before execution finishes, so only a device->
+host copy is a trustworthy barrier.
 
 Baseline: the reference's logged outer-step time on its T4 GPU is 3.21 s
 (BASELINE.md: resultAnalysis.ipynb cell 8, step 11500 sample log line), i.e.
@@ -13,7 +21,7 @@ import json
 import time
 
 import jax
-import jax.numpy as jnp
+import numpy as np
 
 from metapde_tpu.config import Config, FieldConfig, MamlConfig, TaskConfig
 from metapde_tpu.train import maml_driver
@@ -37,25 +45,26 @@ def main():
     params, lrs = c["init_params"], c["inner_lrs"]
     opt_state = c["outer_opt"].init(params)
     lr_opt_state = c["lr_opt"].init(lrs)
-    train_step = c["train_step"]
+    many = c["train_step_many"]
     key = jax.random.PRNGKey(0)
+    block = 100
 
-    # warmup / compile
-    key, sk = jax.random.split(key)
-    out = train_step(sk, params, lrs, opt_state, lr_opt_state)
-    jax.block_until_ready(out[0])
-    params, lrs, opt_state, lr_opt_state = out[:4]
+    # warmup / compile; fetch forces real completion
+    out = many(key, params, lrs, opt_state, lr_opt_state, n_steps=block)
+    np.asarray(out[7])
+    state = out[:4]
 
-    n_steps = 20
+    n_blocks = 10
     t0 = time.perf_counter()
-    for _ in range(n_steps):
+    for _ in range(n_blocks):
         key, sk = jax.random.split(key)
-        out = train_step(sk, params, lrs, opt_state, lr_opt_state)
-        params, lrs, opt_state, lr_opt_state = out[:4]
-    jax.block_until_ready(params)
+        out = many(sk, *state, n_steps=block)
+        state = out[:4]
+    last_losses = np.asarray(out[7])  # host fetch = hard barrier
     dt = time.perf_counter() - t0
+    assert np.isfinite(last_losses).all()
 
-    steps_per_sec = n_steps / dt
+    steps_per_sec = n_blocks * block / dt
     print(json.dumps({
         "metric": "poisson_maml_outer_steps_per_sec",
         "value": round(steps_per_sec, 4),

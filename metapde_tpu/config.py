@@ -169,6 +169,10 @@ class TrainConfig:
     load_model_from_expt: Optional[str] = None
     checkpoint_every: int = 10_000
     remat_inner_steps: bool = True  # jax.checkpoint the inner-loop scan body
+    # outer steps fused into one device call (lax.scan); recovers the ~60x
+    # lost to per-step dispatch+sync latency at this model size. 1 = the
+    # reference's step-at-a-time loop.
+    steps_per_call: int = 1
 
 
 @dataclass(frozen=True)

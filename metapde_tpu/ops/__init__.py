@@ -9,4 +9,4 @@ from .operators import (  # noqa: F401
     weighted_laplacian,
     vmap_weighted_laplacian,
 )
-from .fourier import fourier_features  # noqa: F401
+from .fourier import dewhiten, fourier_features, whiten  # noqa: F401

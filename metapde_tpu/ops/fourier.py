@@ -23,3 +23,21 @@ def fourier_feature_dim(in_dim: int, n_features) -> int:
     if n_features is None:
         return in_dim
     return in_dim * (1 + 2 * n_features)
+
+
+def whiten(x, mean=None, std=None):
+    """Standardize coordinates/values (reference: src/nets/field.py:124-130)."""
+    if mean is not None:
+        x = x - jnp.reshape(mean, (1, -1))
+    if std is not None:
+        x = x / jnp.reshape(std, (1, -1))
+    return x
+
+
+def dewhiten(y, mean=None, std=None):
+    """Inverse of whiten (reference: src/nets/field.py:133-137)."""
+    if std is not None:
+        y = y * jnp.reshape(std, (1, -1))
+    if mean is not None:
+        y = y + jnp.reshape(mean, (1, -1))
+    return y
