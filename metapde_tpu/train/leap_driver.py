@@ -96,8 +96,7 @@ def build(cfg: Config):
             )
         )
 
-    @jax.jit
-    def train_step(key, params, opt_state):
+    def _step_core(key, params, opt_state):
         meta_grad, losses = grad_fn(key, params)
         meta_grad_norm = global_norm(meta_grad)
         scale = jnp.where(
@@ -109,6 +108,23 @@ def build(cfg: Config):
         updates, opt_state = outer_opt.update(meta_grad, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, losses, meta_grad_norm
+
+    train_step = jax.jit(_step_core)
+
+    @partial(jax.jit, static_argnames="n_steps")
+    def train_step_many(key, params, opt_state, n_steps):
+        """n_steps outer steps as one device computation (see the MAML
+        driver's train_step_many for rationale)."""
+        def body(carry, k):
+            p, o = carry
+            p, o, losses, gn = _step_core(k, p, o)
+            return (p, o), (jnp.mean(losses[:, -1]), losses, gn)
+
+        keys = jax.random.split(key, n_steps)
+        (params, opt_state), (ml_means, losses_s, gns) = jax.lax.scan(
+            body, (params, opt_state), keys
+        )
+        return params, opt_state, losses_s[-1], gns[-1], ml_means
 
     def get_final_model(key, params, task_params, inner_steps: int):
         """k-step Adam adaptation from the init (leap_pde.py:140-156)."""
@@ -148,6 +164,7 @@ def build(cfg: Config):
         init_params=init_params,
         outer_opt=outer_opt,
         train_step=train_step,
+        train_step_many=train_step_many,
         get_final_model=get_final_model,
         make_coef_func=make_coef_func,
         validation_losses=validation_losses,
@@ -194,19 +211,48 @@ def run(cfg: Config):
     )
 
     train_step = c["train_step"]
-    for step in range(cfg.train.outer_steps):
+    train_step_many = c["train_step_many"]
+    spc = max(1, cfg.train.steps_per_call)
+
+    def _next_boundary(step):
+        n = cfg.train.outer_steps - step
+        for every in (cfg.train.log_every, cfg.train.checkpoint_every):
+            if every and every > 0:
+                n = min(n, every - step % every)
+        return max(1, min(n, spc))
+
+    step = 0
+    while step < cfg.train.outer_steps:
+        block = _next_boundary(step) if spc > 1 else 1
         key, subkey = jax.random.split(key)
         with Timer() as t:
-            params, opt_state, losses, meta_grad_norm = train_step(
-                subkey, params, opt_state
-            )
+            if block == 1:
+                params, opt_state, losses, meta_grad_norm = train_step(
+                    subkey, params, opt_state
+                )
+                ml_means = None
+            else:
+                params, opt_state, losses, meta_grad_norm, ml_means = (
+                    train_step_many(subkey, params, opt_state, n_steps=block)
+                )
             jax.block_until_ready(params)
+        step_time = t.interval / block
+        step += block
+        log_step = step - 1
 
-        if np.isnan(np.mean(np.asarray(losses))):
-            log(f"encountered nan at step {step}")
+        nan_now = (
+            np.isnan(np.mean(np.asarray(losses)))
+            if ml_means is None else bool(np.any(np.isnan(ml_means)))
+        )
+        if nan_now:
+            log(f"encountered nan at step {log_step}")
             break
 
-        if step % cfg.train.log_every == 0:
+        hit = lambda every: (
+            every > 0 and (log_step % every == 0 if spc == 1
+                           else step % every == 0)
+        )
+        if hit(cfg.train.log_every):
             with Timer() as deploy_timer:
                 val = validation_fn(
                     params, bundle.gt_params, bundle.coords, bundle.gt_vals
@@ -219,16 +265,16 @@ def run(cfg: Config):
                 "step: {}, meta_loss: {}, val_meta_loss: {}, val_mse: {}, "
                 "val_rel_err: {}, val_rel_err_std: {}, deployment_time: {}, "
                 "meta_grad_norm: {}, time: {}".format(
-                    step,
+                    log_step,
                     np.mean(np.asarray(losses)[:, -1]),
                     np.mean(np.asarray(val_losses)[:, -1]),
                     float(val.mse), float(val.rel_err), float(val.rel_err_std),
-                    deployment_time, float(meta_grad_norm), t.interval,
+                    deployment_time, float(meta_grad_norm), step_time,
                 )
             )
             if metrics is not None:
                 metrics.log(
-                    step,
+                    log_step,
                     meta_loss=np.mean(np.asarray(losses)[:, -1]),
                     val_meta_loss=np.mean(np.asarray(val_losses)[:, -1]),
                     val_mse=val.mse,
@@ -238,12 +284,12 @@ def run(cfg: Config):
                     per_time_step_error=val.t_rel_sq_err,
                     deployment_time=deployment_time,
                     meta_grad_norm=meta_grad_norm,
-                    step_time=t.interval,
+                    step_time=step_time,
                     per_step_losses=np.mean(np.asarray(losses), axis=0),
                 )
 
-        if path is not None and step > 0 and step % cfg.train.checkpoint_every == 0:
-            ckpt.save_checkpoint(path, step, {
+        if path is not None and step > 1 and hit(cfg.train.checkpoint_every):
+            ckpt.save_checkpoint(path, log_step, {
                 "params": params, "opt_state": opt_state, "prng_key": key,
             })
 

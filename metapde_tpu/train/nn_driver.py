@@ -20,6 +20,7 @@ Reference semantics preserved:
 """
 
 import dataclasses
+from functools import partial
 from typing import Optional
 
 import jax
@@ -72,8 +73,7 @@ def build(cfg: Config):
 
     opt = get_optimizer(cfg.train.optimizer, cfg.maml.outer_lr)
 
-    @jax.jit
-    def train_step(key, params, opt_state):
+    def _step_core(key, params, opt_state):
         (loss, loss_aux), grads = jax.value_and_grad(
             batch_loss_fn, argnums=1, has_aux=True
         )(key, params)
@@ -87,6 +87,24 @@ def build(cfg: Config):
         updates, opt_state = opt.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss, loss_aux, grad_norm
+
+    train_step = jax.jit(_step_core)
+
+    @partial(jax.jit, static_argnames="n_steps")
+    def train_step_many(key, params, opt_state, n_steps):
+        """n_steps training steps as one device computation (see the MAML
+        driver's train_step_many for rationale)."""
+        def body(carry, k):
+            p, o = carry
+            p, o, loss, loss_aux, gn = _step_core(k, p, o)
+            return (p, o), (loss, loss_aux, gn)
+
+        keys = jax.random.split(key, n_steps)
+        (params, opt_state), (losses, aux_s, gns) = jax.lax.scan(
+            body, (params, opt_state), keys
+        )
+        aux_last = jax.tree_util.tree_map(lambda x: x[-1], aux_s)
+        return params, opt_state, losses[-1], aux_last, gns[-1], losses
 
     @jax.jit
     def get_grad_norms(key, params):
@@ -142,6 +160,7 @@ def build(cfg: Config):
         loss_fn=loss_fn,
         batch_loss_fn=jax.jit(batch_loss_fn),
         train_step=train_step,
+        train_step_many=train_step_many,
         get_grad_norms=get_grad_norms,
         make_coef_func=make_coef_func,
         maml_warmup=maml_warmup,
@@ -195,44 +214,73 @@ def run(cfg: Config, maml_warmup: bool = False):
     )
 
     train_step = c["train_step"]
-    for step in range(cfg.train.outer_steps):
+    train_step_many = c["train_step_many"]
+    spc = max(1, cfg.train.steps_per_call)
+
+    def _next_boundary(step):
+        n = cfg.train.outer_steps - step
+        for every in (cfg.train.log_every, cfg.train.checkpoint_every,
+                      cfg.train.measure_grad_norm_every):
+            if every and every > 0:
+                n = min(n, every - step % every)
+        return max(1, min(n, spc))
+
+    step = 0
+    while step < cfg.train.outer_steps:
+        block = _next_boundary(step) if spc > 1 else 1
         key, subkey = jax.random.split(key)
         with Timer() as t:
-            params, opt_state, loss, loss_aux, grad_norm = train_step(
-                subkey, params, opt_state
-            )
+            if block == 1:
+                params, opt_state, loss, loss_aux, grad_norm = train_step(
+                    subkey, params, opt_state
+                )
+                losses_all = None
+            else:
+                params, opt_state, loss, loss_aux, grad_norm, losses_all = (
+                    train_step_many(subkey, params, opt_state, n_steps=block)
+                )
             jax.block_until_ready(params)
+        step_time = t.interval / block
+        step += block
+        log_step = step - 1
 
-        if np.isnan(float(loss)):
-            log(f"encountered nan at step {step}")
+        nan_now = (
+            np.isnan(float(loss)) if losses_all is None
+            else bool(np.any(np.isnan(np.asarray(losses_all))))
+        )
+        if nan_now:
+            log(f"encountered nan at step {log_step}")
             break
 
-        if step % cfg.train.log_every == 0:
+        hit = lambda every: (
+            every > 0 and (log_step % every == 0 if spc == 1
+                           else step % every == 0)
+        )
+        if hit(cfg.train.log_every):
             val = validation_fn(
                 params, bundle.gt_params, bundle.coords, bundle.gt_vals
             )
             log(
                 "step: {}, loss: {}, val_mse: {}, val_rel_err: {}, "
                 "grad_norm: {}, time: {}".format(
-                    step, float(loss), float(val.mse), float(val.rel_err),
-                    float(grad_norm), t.interval,
+                    log_step, float(loss), float(val.mse), float(val.rel_err),
+                    float(grad_norm), step_time,
                 )
             )
             if metrics is not None:
                 metrics.log(
-                    step,
+                    log_step,
                     loss=loss,
                     val_mse=val.mse,
                     val_rel_err=val.rel_err,
                     val_rel_err_std=val.rel_err_std,
                     per_time_step_error=val.t_rel_sq_err,
                     grad_norm=grad_norm,
-                    step_time=t.interval,
+                    step_time=step_time,
                     **{k: float(v) for k, v in loss_aux.items()},
                 )
 
-        if (cfg.train.measure_grad_norm_every > 0
-                and step % cfg.train.measure_grad_norm_every == 0):
+        if hit(cfg.train.measure_grad_norm_every):
             norms = c["get_grad_norms"](subkey, params)
             log("loss vals and grad norms: ",
                 {k: (float(v[0]), float(v[1])) for k, v in norms.items()})
