@@ -1,0 +1,123 @@
+"""Deployment benchmark: accuracy vs wall time for k-step adaptation.
+
+The product-facing path of the framework (reference SURVEY section 3.5:
+get_final_model k-step rollout timed as deployment_time,
+maml_pde.py:163-193,265-271, and the paper's accuracy-vs-time curves that
+pipeline/pipeline_poisson_{maml,leap}.sh measure by fine-tune sweeps):
+load a meta-learned checkpoint, then for each k in --inner-steps-list
+adapt to n_eval FRESH tasks with k inner steps and report wall time per
+task and rel error vs the on-device FEM/FV ground truth.
+
+    python -m metapde_tpu.cli.deploy_bench --algo=maml \
+        --train.load_model_from_expt=results_poisson_maml/tpu_run5 \
+        --inner-steps-list=0,1,2,5,10,20 --task.n_eval=8
+
+Writes deploy_bench.jsonl (one line per k) into the checkpoint dir and
+prints the table to stdout. Timing uses a device->host fetch as the
+barrier (see RESULTS.md timing-methodology note).
+"""
+
+import json
+import os
+import sys
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config, parse_overrides
+from ..train import checkpoints as ckpt
+from ..train import leap_driver, maml_driver
+from ..train.validation import get_ground_truth, make_validation_fn
+
+
+def run(cfg: Config, algo: str = "maml", inner_steps_list=(0, 1, 2, 5, 10, 20),
+        repeats: int = 3):
+    driver = maml_driver if algo == "maml" else leap_driver
+    c = driver.build(cfg)
+    pde = c["pde"]
+
+    expt = cfg.train.load_model_from_expt
+    if not expt:
+        raise SystemExit("--train.load_model_from_expt is required")
+    fname = ckpt.latest_checkpoint(expt)
+    if not fname:
+        raise SystemExit(f"no checkpoint under {expt}")
+    state = ckpt.load_checkpoint(fname)
+    params = jax.tree_util.tree_map(jnp.asarray, state["params"])
+    if algo == "maml":
+        lrs = jax.tree_util.tree_map(
+            jnp.asarray, state.get("inner_lrs", c["inner_lrs"])
+        )
+        model = (params, lrs)
+    else:
+        model = params
+    print(f"loaded {fname}")
+
+    key = jax.random.PRNGKey(cfg.seed + 7919)  # fresh, unseen tasks
+    key, gt_key, pts_key = jax.random.split(key, 3)
+    gt_keys = jax.random.split(gt_key, cfg.task.n_eval)
+    gt_params = jax.vmap(pde.sample_params)(gt_keys)
+    bundle = get_ground_truth(
+        pde, gt_params, pts_key, cfg.task.validation_points,
+        cfg.solver.ground_truth_resolution,
+    )
+
+    rows = []
+    for k in inner_steps_list:
+        val_fn = make_validation_fn(
+            pde, partial(c["make_coef_func"], inner_steps=int(k)),
+            cfg.task.n_eval,
+            num_tsteps=(cfg.task.num_tsteps
+                        if cfg.task.pde == "td_burgers" else None),
+            symmetry=cfg.task.pde == "hyper_elasticity",
+        )
+        val = val_fn(model, bundle.gt_params, bundle.coords, bundle.gt_vals)
+        _ = float(val.mse)  # warmup/compile + barrier
+
+        t0 = time.perf_counter()
+        for _ in range(repeats):
+            val = val_fn(model, bundle.gt_params, bundle.coords,
+                         bundle.gt_vals)
+            _ = float(val.mse)  # host fetch = hard barrier
+        dt = (time.perf_counter() - t0) / repeats
+        row = {
+            "inner_steps": int(k),
+            "time_per_task_s": dt / cfg.task.n_eval,
+            "val_mse": float(val.mse),
+            "val_rel_err": float(val.rel_err),
+            "val_rel_err_std": float(val.rel_err_std),
+        }
+        rows.append(row)
+        print(json.dumps(row))
+
+    out = os.path.join(expt, "deploy_bench.jsonl")
+    with open(out, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    print(f"wrote {out}")
+    return rows
+
+
+def main(argv=None):
+    argv = argv if argv is not None else sys.argv[1:]
+    algo, steps_list, repeats, rest = "maml", (0, 1, 2, 5, 10, 20), 3, []
+    for a in argv:
+        if a.startswith("--algo="):
+            algo = a.split("=", 1)[1]
+        elif a.startswith("--inner-steps-list="):
+            steps_list = tuple(
+                int(x) for x in a.split("=", 1)[1].split(",")
+            )
+        elif a.startswith("--repeats="):
+            repeats = int(a.split("=", 1)[1])
+        else:
+            rest.append(a)
+    cfg = parse_overrides(Config(), rest)
+    run(cfg, algo=algo, inner_steps_list=steps_list, repeats=repeats)
+
+
+if __name__ == "__main__":
+    main()

@@ -177,3 +177,34 @@ def test_key_lineage_checker():
     kl.use(k1)
     with pytest.raises(RuntimeError):
         kl.use(k1)
+
+
+def test_deploy_bench_runs(tmp_path):
+    """End-to-end deployment benchmark on a synthesized checkpoint."""
+    import jax
+    import jax.numpy as jnp
+
+    from metapde_tpu.cli import deploy_bench
+    from metapde_tpu.config import Config, FieldConfig, MamlConfig, TaskConfig, TrainConfig
+    from metapde_tpu.train import checkpoints as ckpt
+    from metapde_tpu.train import maml_driver
+
+    cfg = Config(
+        task=TaskConfig(pde="poisson", inner_points=32, outer_points=32,
+                        validation_points=32, n_eval=1),
+        model=FieldConfig(num_layers=2, layer_size=16),
+        maml=MamlConfig(bsize=1, inner_steps=2),
+        solver=__import__("dataclasses").replace(
+            Config().solver, ground_truth_resolution=4
+        ),
+        train=TrainConfig(load_model_from_expt=str(tmp_path)),
+    )
+    c = maml_driver.build(cfg)
+    ckpt.save_checkpoint(str(tmp_path), 0, {
+        "params": c["init_params"], "inner_lrs": c["inner_lrs"],
+    })
+    rows = deploy_bench.run(cfg, algo="maml", inner_steps_list=(0, 1),
+                            repeats=1)
+    assert len(rows) == 2
+    assert all(v["time_per_task_s"] > 0 for v in rows)
+    assert all(jnp.isfinite(v["val_rel_err"]) for v in rows)
