@@ -314,8 +314,18 @@ def run(cfg: Config):
                 n = min(n, every - step % every)
         return max(1, min(n, spc))
 
+    profiling = False
     step = 0
+    it = 0
     while step < cfg.train.outer_steps:
+        if cfg.train.profile_dir and it == 1:  # skip the compile iteration
+            jax.profiler.start_trace(cfg.train.profile_dir)
+            profiling = True
+        if profiling and it == 1 + cfg.train.profile_steps:
+            jax.profiler.stop_trace()
+            profiling = False
+            log(f"wrote profiler trace to {cfg.train.profile_dir}")
+        it += 1
         block = _next_boundary(step) if spc > 1 else 1
         key, subkey = jax.random.split(key)
         with Timer() as t:
@@ -403,6 +413,8 @@ def run(cfg: Config):
                 "prng_key": key,
             })
 
+    if profiling:
+        jax.profiler.stop_trace()
     if path is not None:
         ckpt.save_checkpoint(path, step, {
             "params": params, "inner_lrs": inner_lrs,
