@@ -186,14 +186,29 @@ def run(cfg: Config):
     params = c["init_params"]
     key = c["key"]
 
+    resume_step = 0
+    resume_state = None
     if cfg.train.load_model_from_expt:
         fname = ckpt.latest_checkpoint(cfg.train.load_model_from_expt)
         if fname:
             state = ckpt.load_checkpoint(fname)
             params = jax.tree_util.tree_map(jnp.asarray, state["params"])
+            resume_state = state
             log(f"loaded checkpoint {fname}")
 
     opt_state = c["outer_opt"].init(params)
+    if resume_state is not None and resume_state.get("opt_state") is not None:
+        # elastic resume (see maml_driver.run)
+        try:
+            opt_state = jax.tree_util.tree_map(
+                jnp.asarray, resume_state["opt_state"]
+            )
+            if resume_state.get("prng_key") is not None:
+                key = jnp.asarray(resume_state["prng_key"])
+            resume_step = int(resume_state.get("step", 0)) + 1
+            log(f"resuming optimizer state at step {resume_step}")
+        except Exception as e:
+            log(f"could not resume optimizer state ({e}); fresh optimizer")
 
     key, gt_key, gt_points_key = jax.random.split(key, 3)
     gt_keys = jax.random.split(gt_key, cfg.task.n_eval)
@@ -221,7 +236,7 @@ def run(cfg: Config):
                 n = min(n, every - step % every)
         return max(1, min(n, spc))
 
-    step = 0
+    step = resume_step
     while step < cfg.train.outer_steps:
         block = _next_boundary(step) if spc > 1 else 1
         key, subkey = jax.random.split(key)

@@ -270,6 +270,8 @@ def run(cfg: Config):
     params, inner_lrs = c["init_params"], c["inner_lrs"]
     key = c["key"]
 
+    resume_step = 0
+    resume_state = None
     if cfg.train.load_model_from_expt:
         fname = ckpt.latest_checkpoint(cfg.train.load_model_from_expt)
         if fname:
@@ -279,10 +281,29 @@ def run(cfg: Config):
                 inner_lrs = jax.tree_util.tree_map(
                     jnp.asarray, state["inner_lrs"]
                 )
+            resume_state = state
             log(f"loaded checkpoint {fname}")
 
     opt_state = c["outer_opt"].init(params)
     lr_opt_state = c["lr_opt"].init(inner_lrs)
+    if resume_state is not None and resume_state.get("opt_state") is not None:
+        # elastic resume: restore optimizer states, PRNG, and step count so
+        # a watchdog relaunch continues the same trajectory (the reference
+        # restarts Adam fresh and rewinds to step 0, maml_pde.py:126-141)
+        try:
+            opt_state = jax.tree_util.tree_map(
+                jnp.asarray, resume_state["opt_state"]
+            )
+            if resume_state.get("lr_opt_state") is not None:
+                lr_opt_state = jax.tree_util.tree_map(
+                    jnp.asarray, resume_state["lr_opt_state"]
+                )
+            if resume_state.get("prng_key") is not None:
+                key = jnp.asarray(resume_state["prng_key"])
+            resume_step = int(resume_state.get("step", 0)) + 1
+            log(f"resuming optimizer state at step {resume_step}")
+        except Exception as e:  # config drift: fall back to fresh opt
+            log(f"could not resume optimizer state ({e}); fresh optimizers")
 
     # ground truth (once, on device — reference does this on CPU via FEniCS)
     key, gt_key, gt_points_key = jax.random.split(key, 3)
@@ -315,7 +336,7 @@ def run(cfg: Config):
         return max(1, min(n, spc))
 
     profiling = False
-    step = 0
+    step = resume_step
     it = 0
     while step < cfg.train.outer_steps:
         if cfg.train.profile_dir and it == 1:  # skip the compile iteration
