@@ -98,20 +98,35 @@ class PoissonGroundTruth(NamedTuple):
     residual_norm: jnp.ndarray
 
 
-@partial(jax.jit, static_argnames=("resolution", "max_newton_steps"))
-def solve(params, resolution: int = 16, max_newton_steps: int = 12):
+@partial(jax.jit, static_argnames=("resolution", "max_newton_steps",
+                                   "precond", "rel_tol", "krylov_tol"))
+def solve(params, resolution: int = 16, max_newton_steps: int = 12,
+          precond: str = "auto", rel_tol: float = None,
+          krylov_tol: float = 1e-6):
     """Solve one Poisson task; returns a PoissonGroundTruth pytree.
 
     The whole solve runs under HIGHEST matmul precision: TPUs execute f32
     matmuls as bf16 passes by default, which is enough to stall/explode
     BiCGStab on the mapped star meshes (observed: diverged ground truths on
     TPU while CPU converged; fixed by this pin).
+
+    precond: "jacobi", "mg" (geometric multigrid V-cycle, multigrid.py), or
+    "auto" (= mg for resolution >= 32, where f32 Jacobi-BiCGStab stagnates
+    on the stiffness condition number; jacobi below).
     """
+    if precond == "auto":
+        precond = "mg" if resolution >= 32 and resolution % 2 == 0 else "jacobi"
+    if rel_tol is None:
+        # the Newton residual tolerance must shrink with the discretization
+        # error (~h^2) for refinement to pay off; floor near f32 noise
+        rel_tol = max(2e-5 * (16.0 / resolution) ** 2, 1e-6)
     with jax.default_matmul_precision("highest"):
-        return _solve_impl(params, resolution, max_newton_steps)
+        return _solve_impl(params, resolution, max_newton_steps, precond,
+                           rel_tol, krylov_tol)
 
 
-def _solve_impl(params, resolution, max_newton_steps):
+def _solve_impl(params, resolution, max_newton_steps, precond="jacobi",
+                rel_tol=2e-5, krylov_tol=1e-6):
     source_params, bc_params, geo_params = params
     tris_np, nr, nt = mesh_topology(resolution)
     tris = jnp.asarray(tris_np)
@@ -165,15 +180,27 @@ def _solve_impl(params, resolution, max_newton_steps):
     )
     diag = jnp.where(bdry_mask, 1.0, jnp.maximum(diag, 1e-12))
 
+    if precond == "mg":
+        from .multigrid import make_polar_mg_preconditioner
+
+        precond_apply = make_polar_mg_preconditioner(
+            geo_params, resolution, pre_sweeps=3, post_sweeps=3,
+        )
+        krylov_iters = 150
+    else:
+        precond_apply = None
+        krylov_iters = max(200, 20 * resolution)
+
     u0 = g_full
     result = newton_krylov(
         residual,
         u0,
         max_steps=max_newton_steps,
-        rel_tol=2e-5,
-        krylov_tol=1e-6,
-        krylov_max_iters=max(200, 20 * resolution),
+        rel_tol=rel_tol,
+        krylov_tol=krylov_tol,
+        krylov_max_iters=krylov_iters,
         precond_diag=diag,
+        precond_apply=precond_apply,
     )
 
     u = result.u

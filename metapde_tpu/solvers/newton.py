@@ -30,6 +30,7 @@ def newton_krylov(
     krylov_tol: float = 1e-5,
     krylov_max_iters: int = 400,
     precond_diag: jnp.ndarray = None,
+    precond_apply=None,
     symmetric: bool = False,
 ) -> NewtonResult:
     """Solve residual_fn(u) = 0 by damped Newton with matrix-free Krylov.
@@ -45,7 +46,12 @@ def newton_krylov(
 
     def lin_solve(u, rhs):
         jvp_fn = lambda v: jax.jvp(residual_fn, (u,), (v,))[1]
-        M = (lambda v: v * minv) if minv is not None else None
+        if precond_apply is not None:
+            M = precond_apply  # e.g. a multigrid V-cycle (multigrid.py)
+        elif minv is not None:
+            M = lambda v: v * minv
+        else:
+            M = None
         if symmetric:
             sol, _ = jax.scipy.sparse.linalg.cg(
                 jvp_fn, rhs, tol=krylov_tol, maxiter=krylov_max_iters, M=M
@@ -57,7 +63,10 @@ def newton_krylov(
         # guard a diverged Krylov solve: fall back to a preconditioned
         # steepest-descent-like step (the PETSc-relaxation analog)
         bad = ~jnp.isfinite(jnp.sum(sol))
-        fallback = rhs * (minv if minv is not None else 1.0)
+        if precond_apply is not None:
+            fallback = precond_apply(rhs)
+        else:
+            fallback = rhs * (minv if minv is not None else 1.0)
         return jnp.where(bad, fallback, sol)
 
     r0norm = jnp.linalg.norm(residual_fn(u0))
