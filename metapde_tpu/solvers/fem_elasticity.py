@@ -133,6 +133,12 @@ def _solve_impl(params, resolution, xmin, xmax, ymin, ymax, load_steps,
     g0 = -(g1 + g2)
     gradphi = jnp.stack([g0, g1, g2], axis=1)  # [E,3,2]
 
+    # binary centroid masking: an element is dead iff its centroid is inside
+    # a pore. This staircases the pore boundary (O(h) interface error, the
+    # main gt accuracy limiter vs the reference's conforming mshr meshes) —
+    # cut-cell area fractions were tried and destabilize the energy
+    # minimization without ghost-penalty stabilization, so the robust
+    # binary scheme stays.
     centroids = verts.mean(axis=1)
     elem_dead = jax.vmap(
         lambda c: _is_in_hole(c, per_hole_params, n_holes)
