@@ -58,6 +58,7 @@ class FieldDef(NamedTuple):
     cfg: FieldConfig
     apply_vhd: Callable = None  # (params, x[N,d]) -> (u, grad, hess_diag)
     apply_vjac: Callable = None  # (params, x[N,d]) -> (u, jacobian)
+    apply_inference: Callable = None  # forward-only fused serving path
 
     def bind(self, params) -> BoundField:
         return BoundField(self, params)
@@ -313,6 +314,30 @@ def field_apply_vjac(params, x, cfg: FieldConfig):
     return u, jnp.swapaxes(J, 1, 2)
 
 
+def _make_apply_inference(cfg: FieldConfig):
+    """Forward-only evaluation at [N, d] query points, dispatching to the
+    fused Pallas SIREN kernel (ops/pallas_siren.py) when the config
+    supports it — the deployment/serving hot path. NOT differentiable;
+    training paths use apply/apply_vhd."""
+    from ..ops import pallas_siren
+
+    fits = (
+        pallas_siren.HAVE_PALLAS
+        and cfg.siren
+        and cfg.n_fourier is None
+        and cfg.layer_size <= pallas_siren.LANES
+        and cfg.out_dim <= pallas_siren.LANES
+        and cfg.in_dim <= pallas_siren.LANES
+    )
+
+    def apply_inference(params, x):
+        if fits and x.ndim == 2:
+            return pallas_siren.siren_apply_fused(params, x, cfg)
+        return field_apply(params, x, cfg)
+
+    return apply_inference
+
+
 def make_field(cfg: FieldConfig) -> FieldDef:
     return FieldDef(
         init=lambda key: init_field_params(key, cfg),
@@ -320,4 +345,5 @@ def make_field(cfg: FieldConfig) -> FieldDef:
         cfg=cfg,
         apply_vhd=lambda params, x: field_apply_vhd(params, x, cfg),
         apply_vjac=lambda params, x: field_apply_vjac(params, x, cfg),
+        apply_inference=_make_apply_inference(cfg),
     )

@@ -146,7 +146,7 @@ def build(cfg: Config):
                        inner_steps: Optional[int] = None):
         k = leap_def.inner_steps if inner_steps is None else inner_steps
         final_params = get_final_model(key, params, task_params, k)
-        return jnp.squeeze(field.apply(final_params, coords))
+        return jnp.squeeze(field.apply_inference(final_params, coords))
 
     @jax.jit
     def validation_losses(params):

@@ -197,7 +197,7 @@ def build(cfg: Config):
                        inner_steps: Optional[int] = None):
         k = maml_def.inner_steps if inner_steps is None else inner_steps
         final_params = get_final_model(key, model_and_lrs, task_params, k)
-        return jnp.squeeze(field.apply(final_params, coords))
+        return jnp.squeeze(field.apply_inference(final_params, coords))
 
     @jax.jit
     def validation_losses(params, lrs):

@@ -120,7 +120,7 @@ def build(cfg: Config):
 
     def make_coef_func(key, params, task_params, coords):
         # no adaptation: the model itself is the solution (nn_pde.py:110-121)
-        return jnp.squeeze(field.apply(params, coords))
+        return jnp.squeeze(field.apply_inference(params, coords))
 
     def maml_warmup(key, params, inner_lrs):
         """One k-step MAML adaptation from a meta init (nn_pde_maml.py:178-241)."""
