@@ -163,3 +163,31 @@ def test_leap_dp_sharded_matches_unsharded():
                     jax.tree_util.tree_leaves(sh_grads)):
         assert np.allclose(a, b, rtol=1e-4, atol=1e-6)
     assert np.allclose(ref_losses, sh_losses, rtol=1e-4, atol=1e-6)
+
+
+def test_sharded_steps_per_call_scan():
+    """train_step_many (lax.scan of outer steps) composes with the
+    shard_map dp x pt mesh."""
+    import numpy as np
+
+    from metapde_tpu.config import (
+        Config, FieldConfig, MamlConfig, MeshConfig, TaskConfig,
+    )
+    from metapde_tpu.train import maml_driver
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    cfg = Config(
+        task=TaskConfig(pde="poisson", inner_points=64, outer_points=64),
+        model=FieldConfig(num_layers=2, layer_size=32),
+        maml=MamlConfig(bsize=8, inner_steps=2),
+        mesh=MeshConfig(n_task_shards=4, n_point_shards=2),
+    )
+    c = maml_driver.build(cfg)
+    params, lrs = c["init_params"], c["inner_lrs"]
+    o = c["outer_opt"].init(params)
+    lo = c["lr_opt"].init(lrs)
+    out = c["train_step_many"](
+        jax.random.PRNGKey(0), params, lrs, o, lo, n_steps=3
+    )
+    assert np.isfinite(np.asarray(out[7])).all()
