@@ -51,7 +51,12 @@ class FieldConfig:
     omega0: float = 30.0          # first-layer frequency
     log_scale: bool = True        # learnable log input/output scales
     io_scale_lr_factor: float = 10.0  # init scale = 1/factor (field.py:160-164)
-    n_fourier: Optional[int] = None   # optional Fourier features (field.py:111)
+    n_fourier: Optional[int] = None
+    # route forward-only inference through the fused Pallas kernel
+    # (ops/pallas_siren.py). Off by default: measured on v5e, XLA's own
+    # pipeline beats the hand-fused chain for <=128-wide layers because the
+    # kernel must pad lanes to 128 (see RESULTS.md "Pallas kernel study")
+    use_pallas_inference: bool = False   # optional Fourier features (field.py:111)
     out_dim: int = 1              # output dimension of the field
     in_dim: int = 2               # input (coordinate) dimension
     squeeze_scalar: bool = True   # scalar fields return shape [N] (sum last axis)

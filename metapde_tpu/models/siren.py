@@ -322,7 +322,8 @@ def _make_apply_inference(cfg: FieldConfig):
     from ..ops import pallas_siren
 
     fits = (
-        pallas_siren.HAVE_PALLAS
+        getattr(cfg, "use_pallas_inference", False)
+        and pallas_siren.HAVE_PALLAS
         and cfg.siren
         and cfg.n_fourier is None
         and cfg.layer_size <= pallas_siren.LANES

@@ -47,10 +47,23 @@ def test_fused_under_vmap_and_jit():
 
 
 def test_dispatcher_falls_back_for_fourier():
-    cfg = FieldConfig(num_layers=3, layer_size=64, in_dim=2, n_fourier=3)
+    cfg = FieldConfig(num_layers=3, layer_size=64, in_dim=2, n_fourier=3,
+                      use_pallas_inference=True)
     f = make_field(cfg)
     p = f.init(jax.random.PRNGKey(0))
     x = jax.random.uniform(jax.random.PRNGKey(1), (64, 2))
     # apply_inference must route around the kernel and agree with apply
     u = f.apply_inference(p, x)
     assert np.allclose(np.asarray(u), np.asarray(f.apply(p, x)), atol=1e-6)
+
+
+def test_dispatcher_opt_in():
+    """Kernel path is opt-in (XLA wins at these widths, RESULTS.md) but
+    must agree with apply when enabled."""
+    cfg_on = FieldConfig(num_layers=3, layer_size=64, in_dim=2,
+                         use_pallas_inference=True)
+    f = make_field(cfg_on)
+    p = f.init(jax.random.PRNGKey(0))
+    x = jax.random.uniform(jax.random.PRNGKey(1), (300, 2))
+    u = f.apply_inference(p, x)
+    assert np.allclose(np.asarray(u), np.asarray(f.apply(p, x)), atol=1e-5)
