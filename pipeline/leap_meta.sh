@@ -8,7 +8,7 @@ python -m metapde_tpu.cli.leap_pde --task.pde=poisson \
   --leap.inner_steps=60 --leap.inner_lr=2.5e-5 --leap.outer_lr=5e-5 \
   --leap.bsize=8 --task.bc_weight=1.0 \
   --task.inner_points=4096 --task.outer_points=4096 --task.validation_points=4096 \
-  --task.n_eval=8 --train.outer_steps=500000 --train.log_every=500 \
+  --task.n_eval=8 --train.outer_steps=500000 --train.log_every=2000 --train.steps_per_call=200 --train.checkpoint_every=50000 \
   --train.optimizer=adam --train.expt_name=default_final "$@" &
 
 python -m metapde_tpu.cli.leap_pde --task.pde=td_burgers \
@@ -19,7 +19,7 @@ python -m metapde_tpu.cli.leap_pde --task.pde=td_burgers \
   --leap.inner_steps=80 --leap.inner_lr=1e-6 --leap.outer_lr=5e-5 \
   --leap.bsize=8 --task.bc_weight=1.0 \
   --task.inner_points=2048 --task.outer_points=2048 --task.validation_points=2048 \
-  --task.n_eval=8 --train.outer_steps=500000 --train.log_every=500 \
+  --task.n_eval=8 --train.outer_steps=500000 --train.log_every=2000 --train.steps_per_call=200 --train.checkpoint_every=50000 \
   --train.optimizer=adam --train.expt_name=default_final "$@" &
 
 python -m metapde_tpu.cli.leap_pde --task.pde=hyper_elasticity \
@@ -32,7 +32,7 @@ python -m metapde_tpu.cli.leap_pde --task.pde=hyper_elasticity \
   --leap.inner_grad_clip=1000 --leap.grad_clip=1000 --leap.bsize=8 \
   --task.bc_weight=1.0 \
   --task.inner_points=2048 --task.outer_points=2048 --task.validation_points=1024 \
-  --task.n_eval=8 --train.outer_steps=500000 --train.log_every=500 \
+  --task.n_eval=8 --train.outer_steps=500000 --train.log_every=2000 --train.steps_per_call=200 --train.checkpoint_every=50000 \
   --train.optimizer=adam --train.expt_name=full_default "$@" &
 
 wait

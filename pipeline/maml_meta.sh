@@ -10,7 +10,7 @@ python -m metapde_tpu.cli.maml_pde --task.pde=poisson \
   --maml.inner_grad_clip=100 --maml.grad_clip=100 --maml.bsize=16 \
   --task.bc_weight=1.0 --task.inner_points=1024 --task.outer_points=1024 \
   --task.validation_points=1024 --task.n_eval=8 \
-  --train.outer_steps=500000 --train.log_every=500 --train.optimizer=adam \
+  --train.outer_steps=500000 --train.log_every=2000 --train.steps_per_call=200 --train.checkpoint_every=50000 --train.optimizer=adam \
   --train.expt_name=default_final "$@" &
 
 python -m metapde_tpu.cli.maml_pde --task.pde=td_burgers \
@@ -21,7 +21,7 @@ python -m metapde_tpu.cli.maml_pde --task.pde=td_burgers \
   --maml.inner_steps=5 --maml.inner_lr=1e-4 --maml.outer_lr=1e-5 \
   --maml.inner_grad_clip=100 --maml.grad_clip=100 --maml.bsize=8 \
   --task.inner_points=1024 --task.outer_points=1024 --task.validation_points=1024 \
-  --task.n_eval=8 --train.outer_steps=500000 --train.log_every=500 \
+  --task.n_eval=8 --train.outer_steps=500000 --train.log_every=2000 --train.steps_per_call=200 --train.checkpoint_every=50000 \
   --train.optimizer=adam --train.expt_name=default_final "$@" &
 
 python -m metapde_tpu.cli.maml_pde --task.pde=hyper_elasticity \
@@ -34,7 +34,7 @@ python -m metapde_tpu.cli.maml_pde --task.pde=hyper_elasticity \
   --maml.inner_grad_clip=100 --maml.grad_clip=100 --maml.bsize=8 \
   --task.bc_weight=1.0 --task.inner_points=1024 --task.outer_points=1024 \
   --task.validation_points=1024 --task.n_eval=8 \
-  --train.outer_steps=500000 --train.log_every=500 --train.optimizer=adam \
+  --train.outer_steps=500000 --train.log_every=2000 --train.steps_per_call=200 --train.checkpoint_every=50000 --train.optimizer=adam \
   --train.expt_name=default_final "$@" &
 
 wait
