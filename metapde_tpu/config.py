@@ -133,6 +133,10 @@ class SolverConfig:
     src/util/common_flags.py:17-27,31-38)."""
 
     ground_truth_resolution: int = 16
+    # kept for reference-flag parity (mshr polygon vertex density,
+    # common_flags.py:22-27); the structured-chart meshes fix angular
+    # density at 16x resolution (fem_poisson.mesh_topology), which exceeds
+    # the reference's boundary sampling at every paper setting
     boundary_resolution_factor: float = 3.0
     newton_max_steps: int = 30
     newton_tol: float = 1e-8
