@@ -29,8 +29,20 @@ while true; do
   [ -s "$M" ] || continue   # not armed until first real progress
   AGE=$(( $(date +%s) - $(stat -c %Y "$M") ))
   if [ "$AGE" -gt "$STALL_S" ]; then
-    echo "watchdog: $M stalled ${AGE}s; killing $PID and resuming from $D"
-    kill "$PID"; sleep 10; pkill -f "$PATTERN"; sleep 30
+    echo "watchdog: $M stalled ${AGE}s; killing and resuming from $D"
+    # kill matching pids EXPLICITLY, excluding this script (its own cmdline
+    # contains the relaunch args, so pkill -f would be suicide — learned
+    # the hard way)
+    for p in $(pgrep -f "$PATTERN"); do
+      [ "$p" = "$$" ] && continue
+      kill "$p" 2>/dev/null
+    done
+    sleep 10
+    for p in $(pgrep -f "$PATTERN"); do
+      [ "$p" = "$$" ] && continue
+      kill -9 "$p" 2>/dev/null
+    done
+    sleep 30
     setsid nohup "$@" --train.load_model_from_expt="$D" \
       < /dev/null >> "$OUT_DIR/watchdog_relaunch.log" 2>&1 &
     echo "watchdog: relaunched as $!"
