@@ -41,14 +41,28 @@ def prepare_logging(out_dir: Optional[str], expt_name: Optional[str]):
         print(*args, **kwargs, flush=True)
         print(*args, **kwargs, file=outfile, flush=True)
 
-    return path, log, MetricsLogger(os.path.join(path, "metrics.jsonl"))
+    return path, log, MetricsLogger(os.path.join(path, "metrics.jsonl"),
+                                    tb_dir=os.path.join(path, "tb"))
 
 
 class MetricsLogger:
-    """Append-only jsonl metrics writer."""
+    """Append-only jsonl metrics writer, mirrored to TensorBoard events.
 
-    def __init__(self, path: str):
+    The jsonl stream is the structured source of truth; scalar metrics are
+    additionally written as TB events (utils/tensorboard_logger.Logger, a
+    TF-free writer with a native C++ record core) for parity with the
+    reference's Logger (tensorboard_logger.py:14-75)."""
+
+    def __init__(self, path: str, tb_dir: Optional[str] = None):
         self._f = open(path, "a")
+        self._tb = None
+        if tb_dir is not None:
+            try:
+                from ..utils.tensorboard_logger import Logger
+
+                self._tb = Logger(tb_dir)
+            except Exception:
+                self._tb = None
 
     def log(self, step: int, **metrics):
         rec = {"step": int(step), "time": time.time()}
@@ -56,9 +70,17 @@ class MetricsLogger:
             rec[k] = _to_py(v)
         self._f.write(json.dumps(rec) + "\n")
         self._f.flush()
+        if self._tb is not None:
+            for k, v in rec.items():
+                if k in ("step", "time"):
+                    continue
+                if isinstance(v, (int, float)) and v == v:
+                    self._tb.log_scalar(k, float(v), int(step))
 
     def close(self):
         self._f.close()
+        if self._tb is not None:
+            self._tb.close()
 
 
 def _to_py(v):
