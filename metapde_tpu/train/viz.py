@@ -114,3 +114,49 @@ def plot_burgers_time_series(
     fig.savefig(fname, dpi=160, bbox_inches="tight")
     plt.close(fig)
     return fname
+
+
+def plot_burgers_time_series_gif(
+    path, pde, model_and_lrs, gt, params, get_final_model, inner_steps,
+    field_apply, step=None, n_x=128, frame_stride=5, duration_ms=80,
+):
+    """Per-timestep u(x) frames stitched into an animated gif (reference
+    plot_model_time_series, trainer_util.py:295-386: per-t pngs -> gif)."""
+    if not HAVE_MPL:
+        return None
+    try:
+        from PIL import Image
+    except Exception:
+        return None
+    import io
+
+    t_grid = np.asarray(gt.t_grid)[::frame_stride]
+    xs = np.linspace(float(gt.x_grid[0]), float(gt.x_grid[-1]), n_x)
+    final = get_final_model(jax.random.PRNGKey(0), model_and_lrs, params,
+                            inner_steps)
+
+    frames = []
+    ymin = float(np.min(np.asarray(gt.u_grid))) - 0.1
+    ymax = float(np.max(np.asarray(gt.u_grid))) + 0.1
+    for t in t_grid:
+        pts = jnp.asarray(np.stack([xs, np.full_like(xs, t)], 1), jnp.float32)
+        truth = np.asarray(
+            jax.vmap(lambda x: pde.evaluate_gt(gt, x))(pts)
+        )
+        vals = np.asarray(field_apply(final, pts))
+        fig, ax = plt.subplots(figsize=(4.5, 3))
+        ax.plot(xs, truth, label="truth")
+        ax.plot(xs, vals, "--", label="model")
+        ax.set_ylim(ymin, ymax)
+        ax.set_title(f"t = {float(t):.2f}")
+        ax.legend(loc="upper right", fontsize=7)
+        buf = io.BytesIO()
+        fig.savefig(buf, format="png", dpi=100, bbox_inches="tight")
+        plt.close(fig)
+        buf.seek(0)
+        frames.append(Image.open(buf).convert("P"))
+    fname = (f"{path}/viz_ts_step_{step}.gif" if step is not None
+             else f"{path}/viz_ts.gif")
+    frames[0].save(fname, save_all=True, append_images=frames[1:],
+                   duration=duration_ms, loop=0)
+    return fname
