@@ -208,3 +208,18 @@ def test_deploy_bench_runs(tmp_path):
     assert len(rows) == 2
     assert all(v["time_per_task_s"] > 0 for v in rows)
     assert all(jnp.isfinite(v["val_rel_err"]) for v in rows)
+
+
+def test_metrics_logger_mirrors_tb(tmp_path):
+    import os
+
+    from metapde_tpu.train.metrics import MetricsLogger
+
+    m = MetricsLogger(str(tmp_path / "metrics.jsonl"),
+                      tb_dir=str(tmp_path / "tb"))
+    m.log(0, loss=1.5, val_rel_err=0.1, vec=[1.0, 2.0])
+    m.log(1, loss=1.2, val_rel_err=0.05)
+    m.close()
+    evts = [f for f in os.listdir(tmp_path / "tb") if "tfevents" in f]
+    assert evts, "no TB event file written"
+    assert os.path.getsize(tmp_path / "tb" / evts[0]) > 0
