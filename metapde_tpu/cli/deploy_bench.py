@@ -89,6 +89,7 @@ def run(cfg: Config, algo: str = "maml", inner_steps_list=(0, 1, 2, 5, 10, 20),
             "val_mse": float(val.mse),
             "val_rel_err": float(val.rel_err),
             "val_rel_err_std": float(val.rel_err_std),
+            "val_rel_err_median": float(val.rel_err_median),
         }
         rows.append(row)
         print(json.dumps(row))

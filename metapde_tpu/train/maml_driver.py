@@ -415,6 +415,7 @@ def run(cfg: Config):
                     val_mse=val.mse,
                     val_rel_err=val.rel_err,
                     val_rel_err_std=val.rel_err_std,
+                    val_rel_err_median=val.rel_err_median,
                     per_dim_rel_err=val.per_dim_rel_err,
                     per_time_step_error=val.t_rel_sq_err,
                     deployment_time=deployment_time,

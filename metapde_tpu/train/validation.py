@@ -64,6 +64,10 @@ class ValidationResult(NamedTuple):
     per_dim_rel_err: jnp.ndarray
     rel_err_std: jnp.ndarray      # std of per-task rel err
     t_rel_sq_err: Optional[jnp.ndarray]  # per-timestep (td_burgers) or None
+    # median of per-task rel err: robust to eval tasks whose ground truth
+    # has near-zero norm, which explode the mean relative metric (the
+    # reference metric shares the hazard; both are reported)
+    rel_err_median: jnp.ndarray = None
 
 
 def make_validation_fn(
@@ -139,6 +143,7 @@ def make_validation_fn(
             per_dim_rel_err=jnp.mean(rel_sq_err, axis=(0, 1)),
             rel_err_std=jnp.std(jnp.mean(rel_sq_err, axis=(1, 2))),
             t_rel_sq_err=t_rel,
+            rel_err_median=jnp.median(jnp.mean(rel_sq_err, axis=(1, 2))),
         )
 
     return jax.jit(validation_error)
