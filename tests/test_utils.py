@@ -223,3 +223,37 @@ def test_metrics_logger_mirrors_tb(tmp_path):
     evts = [f for f in os.listdir(tmp_path / "tb") if "tfevents" in f]
     assert evts, "no TB event file written"
     assert os.path.getsize(tmp_path / "tb" / evts[0]) > 0
+
+
+def test_lookahead_ranger_semantics():
+    """Lookahead wrapper: fast steps between syncs, slow-weight blend at
+    sync_period; params pytree shape unchanged; converges on a quadratic."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from metapde_tpu.train.optimizers import get_optimizer, lookahead
+
+    # convergence on a quadratic
+    opt = get_optimizer("ranger", 0.1)
+    params = {"w": jnp.asarray([3.0, -2.0])}
+    state = opt.init(params)
+    for _ in range(400):
+        grads = jax.tree_util.tree_map(lambda w: 2 * w, params)
+        updates, state = opt.update(grads, state, params)
+        params = optax.apply_updates(params, updates)
+    assert float(jnp.abs(params["w"]).max()) < 1e-2
+
+    # exact sync semantics vs hand-rolled sgd-lookahead
+    inner = optax.sgd(0.5)
+    la = lookahead(inner, sync_period=2, slow_step=0.5)
+    # after 2 steps fast == slow + 0.5*(fast_unsynced - slow)
+    p2 = jnp.asarray(1.0)
+    s2 = la.init(p2)
+    up, s2 = la.update(jnp.asarray(1.0), s2, p2)
+    p2 = p2 + up                      # fast step: 1.0 - 0.5 = 0.5
+    assert float(p2) == 0.5
+    up, s2 = la.update(jnp.asarray(1.0), s2, p2)
+    p2 = p2 + up                      # sync: fast' = 0.0; slow: 1 + .5*(0-1)=0.5
+    assert abs(float(p2) - 0.5) < 1e-6
+    assert abs(float(s2.slow) - 0.5) < 1e-6
