@@ -14,6 +14,15 @@ OUT_DIR=$1; EXPT=$2; PATTERN=$3; STALL_S=$4; shift 4
 [ "$1" = "--" ] && shift
 
 newest_dir() {
+  # newest run dir that actually HAS a checkpoint to resume from (a run
+  # that stalls before its first checkpoint must not trigger a fresh-init
+  # relaunch)
+  for d in $(ls -dt "$OUT_DIR/$EXPT"* 2>/dev/null); do
+    if ls "$d"/checkpoint_step_*.pickle >/dev/null 2>&1; then
+      echo "$d"
+      return
+    fi
+  done
   ls -dt "$OUT_DIR/$EXPT"* 2>/dev/null | head -1
 }
 
