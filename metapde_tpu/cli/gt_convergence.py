@@ -1,0 +1,103 @@
+"""Ground-truth oracle self-convergence check.
+
+The reference validates its FEM oracle by re-solving at a grid of
+resolutions against a high-resolution reference solve
+(src/fenics_baseline.py:95-175, errors_by_resolution.npy). This CLI applies
+the same protocol to this build's JAX-native oracles: for each sampled task,
+solve at each --resolutions entry and at --ref_resolution, evaluate both at
+shared in-domain validation points, and report relative MSE per resolution.
+
+    python -m metapde_tpu.cli.gt_convergence --task.pde=hyper_elasticity \
+        --resolutions=12,24,48 --ref_resolution=96 --n_tasks=4
+
+Prints one JSON line per resolution: {"resolution": r, "rel_mse": ...,
+"time_per_solve_s": ...} and a trailing summary line.
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config, parse_overrides
+from ..pdes import get_pde
+
+
+def run(cfg: Config, resolutions, ref_resolution: int, n_tasks: int = 4,
+        n_points: int = 1024, seed: int = 0):
+    pde = get_pde(cfg.task)
+    keys = jax.random.split(jax.random.PRNGKey(seed), n_tasks)
+    tasks = [pde.sample_params(k) for k in keys]
+
+    # reference solves + shared validation points
+    refs, pts = [], []
+    for i, params in enumerate(tasks):
+        gt = pde.solve(params, resolution=ref_resolution)
+        gt = jax.block_until_ready(gt)
+        refs.append(gt)
+        p = pde.sample_validation_points(
+            jax.random.PRNGKey(1000 + i), n_points, params, gt
+        )
+        pts.append(p)
+
+    ref_vals = [
+        jax.vmap(lambda x: pde.evaluate_gt(g, x))(p)
+        for g, p in zip(refs, pts)
+    ]
+
+    rows = []
+    for res in resolutions:
+        num, den, dt = 0.0, 0.0, 0.0
+        for params, p, rv in zip(tasks, pts, ref_vals):
+            t0 = time.perf_counter()
+            gt = jax.block_until_ready(pde.solve(params, resolution=res))
+            dt += time.perf_counter() - t0
+            v = jax.vmap(lambda x: pde.evaluate_gt(gt, x))(p)
+            num += float(jnp.sum((v - rv) ** 2))
+            den += float(jnp.sum(rv ** 2))
+        row = {
+            "resolution": res,
+            "rel_mse": num / max(den, 1e-30),
+            "time_per_solve_s": dt / len(tasks),
+        }
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+
+    print(json.dumps({
+        "pde": cfg.task.pde, "ref_resolution": ref_resolution,
+        "n_tasks": n_tasks, "n_points": n_points,
+        "rel_mse_by_resolution": {
+            str(r["resolution"]): r["rel_mse"] for r in rows
+        },
+    }), flush=True)
+    return rows
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    resolutions = [12, 24, 48]
+    ref_resolution = 96
+    n_tasks, n_points, seed = 4, 1024, 0
+    passthrough = []
+    for a in argv:
+        if a.startswith("--resolutions="):
+            resolutions = [int(x) for x in a.split("=", 1)[1].split(",")]
+        elif a.startswith("--ref_resolution="):
+            ref_resolution = int(a.split("=", 1)[1])
+        elif a.startswith("--n_tasks="):
+            n_tasks = int(a.split("=", 1)[1])
+        elif a.startswith("--n_points="):
+            n_points = int(a.split("=", 1)[1])
+        elif a.startswith("--seed="):
+            seed = int(a.split("=", 1)[1])
+        else:
+            passthrough.append(a)
+    cfg = parse_overrides(Config(), passthrough)
+    run(cfg, resolutions, ref_resolution, n_tasks, n_points, seed)
+
+
+if __name__ == "__main__":
+    main()

@@ -28,6 +28,7 @@ class PdeDef(NamedTuple):
     evaluate_gt: Callable  # (gt, x) -> value(s) at coordinate x
     sample_validation_points: Callable  # (key, n, params, gt) -> [n, in_dim]
     symmetry_reflect: Callable = None  # optional (coords, vals) mirror for validation
+    gt_version: int = 1  # bump when the ground-truth scheme changes (cache key)
 
 
 def get_pde(cfg: TaskConfig) -> PdeDef:

@@ -279,4 +279,5 @@ def make_pde(cfg: TaskConfig) -> PdeDef:
         solve=solve,
         evaluate_gt=fem_steady_burgers.evaluate,
         sample_validation_points=sample_validation_points,
+        gt_version=2,  # v2: boundary-snapped conforming mesh (mesh2d.py)
     )

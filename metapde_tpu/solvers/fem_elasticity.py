@@ -5,23 +5,34 @@ hyper_elasticity_fenics.py:53-195: mshr rectangle-minus-pores meshing, P1
 vector FEM, PETSc Newton with relaxation 0.01 and retry back-off) with a
 fully jit-compiled energy-minimization pipeline:
 
-- Mesh: static structured triangulation of the rectangle; pore geometry is
-  applied by TRACED element masking (element dead if its centroid falls in a
-  pore), so one compiled solver serves every pore configuration. Nodes with
-  no live element are pinned to zero through a quadratic tether.
+- Mesh: static structured triangulation of the rectangle, made conforming to
+  the (traced) pore boundaries by node snapping (solvers/mesh2d.py): nodes
+  just inside a pore are projected radially onto its boundary, so cut
+  elements have their interior vertices ON the pore boundary (O(h^2)
+  interface error instead of the O(h) staircase of binary masking). Topology
+  stays static, so one compiled solver serves every pore configuration.
+  Elements inside a pore (or degenerated to slivers by snapping) are dead;
+  nodes with no live element are pinned to zero through a quadratic tether.
 - Energy (hyper_elasticity_fenics.py:123, identical on the NN side at
   hyper_elasticity_common.py:34-56): compressible neo-Hookean
   psi(F) = (mu/2)(J^{-2/d} Ic - d) + (kappa/2)(J - 1)^2, d = 2,
   with young's modulus bc_params[0], poisson ratio 0.49.
 - BCs (hyper_elasticity_fenics.py:160-168): bottom row pinned (0,0), top row
   displaced (0, -0.12); left/right/pore boundaries traction-free (natural).
-- Solve: damped Newton on the reduced energy with matrix-free CG (Hessian
-  vector products via jvp-of-grad), candidate-step line search that rejects
-  element inversion (psi set to a large barrier when J <= Jmin), and load
-  stepping of the top displacement — the robustness the reference buys from
-  PETSc relaxation back-off.
+- Solve: CASCADIC — the coarsest level runs damped Newton with load stepping
+  of the top displacement from an affine warm start (the robustness the
+  reference buys from PETSc relaxation back-off); each finer level is
+  warm-started by P1 interpolation of the coarser solution and Newton-refined
+  at full load. The compressed porous sheet has competing buckling branches
+  (the reference's validation mirrors solutions for the same reason,
+  trainer_util.py:525-549); the cascade keeps every resolution on ONE branch,
+  which a fresh fine-level solve does not (observed: res-96 fresh Newton
+  lands at energy 0.0133 where the cascade reaches <= 0.0088).
+  Inner linear solves are matrix-free CG on Hessian-vector products with a
+  candidate-step line search that rejects element inversion.
 
-Evaluation is alive-weighted bilinear interpolation on the structured grid.
+Evaluation is P1 barycentric interpolation on the snapped mesh
+(mesh2d.evaluate_p1).
 """
 
 from functools import partial
@@ -31,140 +42,72 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-_BIG = 1e8
+from .mesh2d import (
+    evaluate_p1,
+    is_in_hole,
+    mesh_topology,
+    node_coords,
+    snapped_geometry,
+)
+
+# compatibility aliases (older call sites / tests)
+_is_in_hole = is_in_hole
+
 _JMIN = 0.05
 
 
-def mesh_topology(resolution: int):
-    """Static uniform triangulation of the unit square: (res+1)^2 nodes,
-    2 res^2 triangles."""
-    n = resolution
-
-    def node(i, j):
-        return i * (n + 1) + j
-
-    tris = []
-    for i in range(n):
-        for j in range(n):
-            a, b = node(i, j), node(i, j + 1)
-            c, d = node(i + 1, j), node(i + 1, j + 1)
-            tris.append([a, c, d])
-            tris.append([a, d, b])
-    return np.asarray(tris, dtype=np.int32)
-
-
-def node_coords(resolution, xmin, xmax, ymin, ymax):
-    n = resolution
-    xs = np.linspace(xmin, xmax, n + 1)
-    ys = np.linspace(ymin, ymax, n + 1)
-    # index (i, j): i over x rows, j over y columns (node = i*(n+1)+j)
-    xx, yy = np.meshgrid(xs, ys, indexing="ij")
-    return np.stack([xx.reshape(-1), yy.reshape(-1)], axis=1)
-
-
-def _is_in_hole(xy, per_hole_params, n_holes, tol=1e-7):
-    """Vectorized hole membership over all pores
-    (hyper_elasticity_common.py:190-196 with index masking :232-235)."""
-    c1 = per_hole_params[:, 0]
-    c2 = per_hole_params[:, 1]
-    x0 = per_hole_params[:, 2]
-    y0 = per_hole_params[:, 3]
-    size = per_hole_params[:, 4]
-    vx = xy[0] - x0
-    vy = xy[1] - y0
-    theta = jnp.arctan2(vx, vy)
-    length = jnp.sqrt(vx ** 2 + vy ** 2)
-    r0 = size * (1.0 + c1 * jnp.cos(4 * theta) + c2 * jnp.cos(8 * theta))
-    inside = r0 > length + tol
-    idx_mask = jnp.arange(per_hole_params.shape[0]) < n_holes
-    return jnp.any(inside & idx_mask)
-
-
 class ElasticityGroundTruth(NamedTuple):
-    """Displacement on the structured (res+1)x(res+1) grid."""
+    """Displacement on the snapped (res+1)x(res+1) structured mesh."""
 
     u_grid: jnp.ndarray       # [res+1, res+1, 2] (x-major indexing)
+    coords_grid: jnp.ndarray  # [res+1, res+1, 2] snapped node positions
     alive_grid: jnp.ndarray   # [res+1, res+1] node liveness (float 0/1)
+    elem_alive: jnp.ndarray   # [2*res^2] element liveness (float 0/1)
     bounds: jnp.ndarray       # [4] xmin, xmax, ymin, ymax
     final_energy: jnp.ndarray
 
 
-@partial(
-    jax.jit,
-    static_argnames=("resolution", "xmin", "xmax", "ymin", "ymax",
-                     "load_steps", "newton_steps", "top_displacement"),
-)
-def solve(
-    params,
-    resolution: int = 32,
-    xmin: float = 0.0,
-    xmax: float = 1.0,
-    ymin: float = 0.0,
-    ymax: float = 1.0,
-    load_steps: int = 4,
-    newton_steps: int = 25,
-    top_displacement: float = -0.12,
-):
-    # HIGHEST matmul precision: TPU bf16-pass f32 matmuls destabilize CG
-    # (see fem_poisson.solve)
-    with jax.default_matmul_precision("highest"):
-        return _solve_impl(params, resolution, xmin, xmax, ymin, ymax,
-                           load_steps, newton_steps, top_displacement)
-
-
-def _solve_impl(params, resolution, xmin, xmax, ymin, ymax, load_steps,
-                newton_steps, top_displacement):
+def _build_problem(params, resolution, xmin, xmax, ymin, ymax):
+    """Geometry, masks, and the reduced energy functional for one task."""
     source_params, bc_params, per_hole_params, n_holes = params
 
     tris = jnp.asarray(mesh_topology(resolution))
-    coords = jnp.asarray(
+    coords0 = jnp.asarray(
         node_coords(resolution, xmin, xmax, ymin, ymax), jnp.float32
     )
-    n_nodes = coords.shape[0]
+    n_nodes = coords0.shape[0]
 
-    verts = coords[tris]                       # [E,3,2]
-    e1 = verts[:, 1] - verts[:, 0]
-    e2 = verts[:, 2] - verts[:, 0]
-    det = e1[:, 0] * e2[:, 1] - e1[:, 1] * e2[:, 0]
-    area = 0.5 * jnp.abs(det)
-    inv_det = 1.0 / det
-    g1 = jnp.stack([e2[:, 1] * inv_det, -e2[:, 0] * inv_det], axis=1)
-    g2 = jnp.stack([-e1[:, 1] * inv_det, e1[:, 0] * inv_det], axis=1)
-    g0 = -(g1 + g2)
-    gradphi = jnp.stack([g0, g1, g2], axis=1)  # [E,3,2]
-
-    # binary centroid masking: an element is dead iff its centroid is inside
-    # a pore. This staircases the pore boundary (O(h) interface error, the
-    # main gt accuracy limiter vs the reference's conforming mshr meshes) —
-    # cut-cell area fractions were tried and destabilize the energy
-    # minimization without ghost-penalty stabilization, so the robust
-    # binary scheme stays.
-    centroids = verts.mean(axis=1)
-    elem_dead = jax.vmap(
-        lambda c: _is_in_hole(c, per_hole_params, n_holes)
-    )(centroids)
-    elem_alive = 1.0 - elem_dead.astype(jnp.float32)
-
-    node_alive = jax.ops.segment_max(
-        jnp.repeat(elem_alive, 3), tris.reshape(-1), num_segments=n_nodes
+    # outer-rectangle nodes never move (BC rows must stay exact)
+    on_rect = (
+        jnp.isclose(coords0[:, 0], xmin) | jnp.isclose(coords0[:, 0], xmax)
+        | jnp.isclose(coords0[:, 1], ymin) | jnp.isclose(coords0[:, 1], ymax)
     )
+    cell_h = min((xmax - xmin), (ymax - ymin)) / resolution
+    geom = snapped_geometry(tris, coords0, per_hole_params, n_holes,
+                            cell_h, boundary_fixed=on_rect)
 
     young_mod = bc_params[0]
     poisson_ratio = 0.49
     shear_mod = young_mod / (2.0 * (1.0 + poisson_ratio))
     bulk_mod = young_mod / (3.0 * (1.0 - 2.0 * poisson_ratio))
 
-    on_bottom = jnp.isclose(coords[:, 1], ymin)
-    on_top = jnp.isclose(coords[:, 1], ymax)
+    on_bottom = jnp.isclose(coords0[:, 1], ymin)
+    on_top = jnp.isclose(coords0[:, 1], ymax)
     constrained = on_bottom | on_top
 
-    def energy(z, top_disp):
+    area, gradphi = geom.area, geom.gradphi
+    elem_alive, node_alive = geom.elem_alive, geom.node_alive
+
+    def u_of(z, top_disp):
         bc_val = jnp.where(
             on_top[:, None],
             jnp.stack([jnp.zeros(n_nodes), jnp.full(n_nodes, top_disp)], 1),
             jnp.zeros((n_nodes, 2)),
         )
-        u = jnp.where(constrained[:, None], bc_val, z.reshape(n_nodes, 2))
+        return jnp.where(constrained[:, None], bc_val, z.reshape(n_nodes, 2))
+
+    def energy(z, top_disp):
+        u = u_of(z, top_disp)
         ue = u[tris]                                        # [E,3,2]
         grad_u = jnp.einsum("ekd,ekg->edg", ue, gradphi)    # [E,2(dof),2(x)]
         F = jnp.eye(2)[None] + grad_u
@@ -183,20 +126,22 @@ def _solve_impl(params, resolution, xmin, xmax, ymin, ymax, load_steps,
         # Hessian nonsingular on those rows)
         dead_w = (1.0 - node_alive) * (1.0 - constrained.astype(jnp.float32))
         tether = 0.5 * jnp.sum(dead_w[:, None] * u ** 2) + 0.5 * jnp.sum(
-            constrained.astype(jnp.float32)[:, None] * z.reshape(n_nodes, 2) ** 2
+            constrained.astype(jnp.float32)[:, None]
+            * z.reshape(n_nodes, 2) ** 2
         )
         return elastic + tether
 
-    alphas = jnp.asarray([1.0, 0.5, 0.25, 0.1, 0.03, 0.01])
-
-    def newton_solve(z, top_disp):
+    def newton_solve(z, top_disp, newton_steps):
         e_fn = lambda zz: energy(zz, top_disp)
         g_fn = jax.grad(e_fn)
+        alphas = jnp.asarray([1.0, 0.5, 0.25, 0.1, 0.03, 0.01])
 
         def step(z, _):
             g = g_fn(z)
             hvp = lambda v: jax.jvp(g_fn, (z,), (v,))[1]
-            dz, _ = jax.scipy.sparse.linalg.cg(hvp, -g, tol=1e-5, maxiter=200)
+            dz, _ = jax.scipy.sparse.linalg.cg(
+                hvp, -g, tol=1e-5, maxiter=max(200, 8 * resolution)
+            )
             dz = jnp.where(jnp.isfinite(dz), dz, 0.0)
             # candidate-step line search on the true energy
             cand = jax.vmap(lambda a: e_fn(z + a * dz))(alphas)
@@ -209,57 +154,115 @@ def _solve_impl(params, resolution, xmin, xmax, ymin, ymax, load_steps,
         z, _ = jax.lax.scan(step, z, None, length=newton_steps)
         return z
 
-    # warm start each load increment with the affine compression profile
-    # u_y += ddisp * (y - ymin)/(ymax - ymin): keeps J = 1 + ddisp > 0
-    # uniformly, so no element starts a load step inverted.
-    frac = (coords[:, 1] - ymin) / (ymax - ymin)
-    affine = jnp.stack([jnp.zeros(n_nodes), frac], axis=1).reshape(-1)
-    ddisp = top_displacement / load_steps
+    return {
+        "geom": geom, "n_nodes": n_nodes, "energy": energy, "u_of": u_of,
+        "newton_solve": newton_solve, "constrained": constrained,
+        "on_top": on_top, "coords0": coords0,
+    }
 
-    z = jnp.zeros(n_nodes * 2)
-    for k in range(1, load_steps + 1):
-        z = z + ddisp * affine
-        z = newton_solve(z, top_displacement * k / load_steps)
 
-    final_e = energy(z, top_displacement)
-    bc_val = jnp.where(
-        on_top[:, None],
-        jnp.stack([jnp.zeros(n_nodes), jnp.full(n_nodes, top_displacement)], 1),
-        jnp.zeros((n_nodes, 2)),
-    )
-    u = jnp.where(constrained[:, None], bc_val, z.reshape(n_nodes, 2))
-
+def _pack(prob, z, resolution, xmin, xmax, ymin, ymax, top_displacement):
+    u = prob["u_of"](z, top_displacement)
     m = resolution + 1
+    geom = prob["geom"]
     return ElasticityGroundTruth(
         u_grid=u.reshape(m, m, 2),
-        alive_grid=node_alive.reshape(m, m),
+        coords_grid=geom.coords.reshape(m, m, 2),
+        alive_grid=geom.node_alive.reshape(m, m),
+        elem_alive=geom.elem_alive,
         bounds=jnp.asarray([xmin, xmax, ymin, ymax], jnp.float32),
-        final_energy=final_e,
+        final_energy=prob["energy"](z, top_displacement),
     )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("resolution", "xmin", "xmax", "ymin", "ymax",
+                     "load_steps", "newton_steps", "top_displacement"),
+)
+def _solve_base(params, resolution, xmin, xmax, ymin, ymax, load_steps,
+                newton_steps, top_displacement):
+    """Coarsest-level solve: affine warm start + load stepping."""
+    with jax.default_matmul_precision("highest"):
+        prob = _build_problem(params, resolution, xmin, xmax, ymin, ymax)
+        n_nodes = prob["n_nodes"]
+        coords = prob["geom"].coords
+
+        # warm start each load increment with the affine compression profile
+        # u_y += ddisp * (y - ymin)/(ymax - ymin): keeps J = 1 + ddisp > 0
+        # uniformly, so no element starts a load step inverted. Uses SNAPPED
+        # node y so the profile is continuous across the pore boundaries.
+        frac = (coords[:, 1] - ymin) / (ymax - ymin)
+        affine = jnp.stack([jnp.zeros(n_nodes), frac], axis=1).reshape(-1)
+        ddisp = top_displacement / load_steps
+
+        z = jnp.zeros(n_nodes * 2)
+        for k in range(1, load_steps + 1):
+            z = z + ddisp * affine
+            z = prob["newton_solve"](
+                z, top_displacement * k / load_steps, newton_steps
+            )
+        return _pack(prob, z, resolution, xmin, xmax, ymin, ymax,
+                     top_displacement)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("resolution", "xmin", "xmax", "ymin", "ymax",
+                     "newton_steps", "top_displacement"),
+)
+def _refine_stage(params, coarse_gt, resolution, xmin, xmax, ymin, ymax,
+                  newton_steps, top_displacement):
+    """One cascade level: P1-prolong the coarser solution onto this level's
+    snapped mesh and Newton-refine at full load."""
+    with jax.default_matmul_precision("highest"):
+        prob = _build_problem(params, resolution, xmin, xmax, ymin, ymax)
+        z0 = jax.vmap(
+            lambda x: evaluate_p1(
+                coarse_gt.u_grid, coarse_gt.coords_grid,
+                coarse_gt.elem_alive, coarse_gt.bounds, x,
+            )
+        )(prob["geom"].coords).reshape(-1)
+        # dead nodes start at their tether target; constrained nodes' unused
+        # z entries likewise (the BC value lives in u_of, not in z — seeding
+        # them with the interpolated BC would leave a spurious tether-energy
+        # tail that the damped Newton decays only geometrically)
+        keep = (jnp.repeat(prob["geom"].node_alive, 2) > 0.5) \
+            & ~jnp.repeat(prob["constrained"], 2)
+        z0 = jnp.where(keep, z0, 0.0)
+        z = prob["newton_solve"](z0, top_displacement, newton_steps)
+        return _pack(prob, z, resolution, xmin, xmax, ymin, ymax,
+                     top_displacement)
+
+
+def solve(
+    params,
+    resolution: int = 32,
+    xmin: float = 0.0,
+    xmax: float = 1.0,
+    ymin: float = 0.0,
+    ymax: float = 1.0,
+    load_steps: int = 4,
+    newton_steps: int = 25,
+    top_displacement: float = -0.12,
+):
+    """Cascadic solve at `resolution`: base level (<= 16) with load stepping,
+    then successive 2x refinements warm-started from the previous level.
+    Eager Python driver over jitted stages (one compile per level size)."""
+    chain = [resolution]
+    while chain[-1] % 2 == 0 and chain[-1] // 2 >= 12:
+        chain.append(chain[-1] // 2)
+    chain.reverse()
+
+    gt = _solve_base(params, chain[0], xmin, xmax, ymin, ymax,
+                     load_steps, newton_steps, top_displacement)
+    for res in chain[1:]:
+        gt = _refine_stage(params, gt, res, xmin, xmax, ymin, ymax,
+                           newton_steps, top_displacement)
+    return gt
 
 
 def evaluate(gt: ElasticityGroundTruth, x):
-    """Displacement at physical point x [2]: alive-weighted bilinear interp."""
-    m = gt.u_grid.shape[0]
-    xmin, xmax, ymin, ymax = gt.bounds[0], gt.bounds[1], gt.bounds[2], gt.bounds[3]
-
-    fx = jnp.clip((x[0] - xmin) / (xmax - xmin), 0.0, 1.0) * (m - 1)
-    fy = jnp.clip((x[1] - ymin) / (ymax - ymin), 0.0, 1.0) * (m - 1)
-    i0 = jnp.clip(jnp.floor(fx).astype(jnp.int32), 0, m - 2)
-    j0 = jnp.clip(jnp.floor(fy).astype(jnp.int32), 0, m - 2)
-    wx = fx - i0
-    wy = fy - j0
-
-    w = jnp.asarray([
-        (1 - wx) * (1 - wy), (1 - wx) * wy, wx * (1 - wy), wx * wy,
-    ])
-    idx_i = jnp.asarray([i0, i0, i0 + 1, i0 + 1])
-    idx_j = jnp.asarray([j0, j0 + 1, j0, j0 + 1])
-    vals = gt.u_grid[idx_i, idx_j]       # [4,2]
-    alive = gt.alive_grid[idx_i, idx_j]  # [4]
-
-    w_alive = w * alive
-    denom = jnp.sum(w_alive)
-    plain = jnp.einsum("k,kd->d", w, vals)
-    weighted = jnp.einsum("k,kd->d", w_alive, vals) / jnp.maximum(denom, 1e-8)
-    return jnp.where(denom > 1e-6, weighted, plain)
+    """Displacement at physical point x [2]: P1 interpolation on the
+    snapped conforming mesh."""
+    return evaluate_p1(gt.u_grid, gt.coords_grid, gt.elem_alive, gt.bounds, x)

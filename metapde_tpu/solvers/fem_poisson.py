@@ -214,6 +214,40 @@ def _solve_impl(params, resolution, max_newton_steps, precond="jacobi",
     )
 
 
+@partial(jax.jit, static_argnames=("resolution", "max_newton_steps",
+                                   "precond", "rel_tol", "krylov_tol"))
+def _solve_impl_x64(params, resolution, max_newton_steps, precond, rel_tol,
+                    krylov_tol):
+    return _solve_impl(params, resolution, max_newton_steps, precond,
+                       rel_tol, krylov_tol)
+
+
+def solve_x64(params, resolution: int = 32, max_newton_steps: int = 20,
+              rel_tol: float = None, krylov_tol: float = 1e-9):
+    """Double-precision oracle solve: breaks the f32 refinement ceiling.
+
+    The f32 pipeline bottoms out around rel_mse ~1e-6 at res 16-32 (residual
+    round-off amplified by the stiffness condition number); the reference's
+    PETSc path is f64 throughout and reaches ~1e-7 at res 32
+    (BASELINE.md, resultAnalysis cell 3). This variant retraces the same
+    `_solve_impl` under `jax.enable_x64` with h^2-scaled Newton tolerances
+    un-floored, for the accuracy-sweep baseline (cli/solver_baseline) and
+    high-accuracy cached ground truths. Eager wrapper — do not call inside
+    an outer jit (the x64 context must be active during tracing)."""
+    if rel_tol is None:
+        rel_tol = max(2e-5 * (16.0 / resolution) ** 2, 1e-10)
+    # the multigrid builder is dtype-generic (levels inherit geo_params'
+    # dtype), so the f32 "auto" rule carries over
+    precond = "mg" if resolution >= 32 and resolution % 2 == 0 else "jacobi"
+    with jax.enable_x64(True):
+        params64 = jax.tree_util.tree_map(
+            lambda a: jnp.asarray(a, jnp.float64), params
+        )
+        with jax.default_matmul_precision("highest"):
+            return _solve_impl_x64(params64, resolution, max_newton_steps,
+                                   precond, rel_tol, krylov_tol)
+
+
 def evaluate(gt: PoissonGroundTruth, x):
     """Evaluate the FEM solution at physical point x [2] (jit/vmap friendly).
 

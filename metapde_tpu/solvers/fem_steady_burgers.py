@@ -5,8 +5,10 @@ this solver is src/burgers/burgers_fenics.py:54-166 (mshr
 rectangle-minus-holes meshing, P2 vector FEM, PETSc Newton with 0.2x
 relaxation retry); its task module was broken/unregistered
 (src/burgers/burgers_def.py:6 imports a nonexistent symbol), so this build
-supplies a working replacement on the masked-structured-mesh machinery shared
-with fem_elasticity:
+supplies a working replacement on the boundary-snapped structured-mesh
+machinery shared with fem_elasticity (solvers/mesh2d.py — no-slip is imposed
+at nodes projected ONTO the pore boundaries, not at a staircase
+approximation of them):
 
     u . grad u = (1/Re) lap u      in Omega \\ pores
     u = inlet profile              on x = xmin
@@ -24,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .fem_elasticity import mesh_topology, node_coords, _is_in_hole
+from .mesh2d import evaluate_p1, mesh_topology, node_coords, snapped_geometry
 from .newton import newton_krylov
 
 _MIDPT = np.array(
@@ -33,8 +35,10 @@ _MIDPT = np.array(
 
 
 class SteadyBurgersGroundTruth(NamedTuple):
-    u_grid: jnp.ndarray      # [m, m, 2] velocity at structured nodes
+    u_grid: jnp.ndarray      # [m, m, 2] velocity at snapped nodes
+    coords_grid: jnp.ndarray  # [m, m, 2] snapped node positions
     alive_grid: jnp.ndarray  # [m, m]
+    elem_alive: jnp.ndarray  # [2*res^2]
     bounds: jnp.ndarray      # [4]
     residual_norm: jnp.ndarray
 
@@ -54,39 +58,32 @@ def _solve_impl(params, resolution, xmin, xmax, ymin, ymax, max_newton_steps):
     nu = 1.0 / re
 
     tris = jnp.asarray(mesh_topology(resolution))
-    coords = jnp.asarray(
+    coords0 = jnp.asarray(
         node_coords(resolution, xmin, xmax, ymin, ymax), jnp.float32
     )
-    n_nodes = coords.shape[0]
+    n_nodes = coords0.shape[0]
 
-    verts = coords[tris]
-    e1 = verts[:, 1] - verts[:, 0]
-    e2 = verts[:, 2] - verts[:, 0]
-    det = e1[:, 0] * e2[:, 1] - e1[:, 1] * e2[:, 0]
-    area = 0.5 * jnp.abs(det)
-    inv_det = 1.0 / det
-    g1 = jnp.stack([e2[:, 1] * inv_det, -e2[:, 0] * inv_det], axis=1)
-    g2 = jnp.stack([-e1[:, 1] * inv_det, e1[:, 0] * inv_det], axis=1)
-    gradphi = jnp.stack([-(g1 + g2), g1, g2], axis=1)  # [E,3,2]
+    on_inlet = jnp.isclose(coords0[:, 0], xmin)
+    on_outlet = jnp.isclose(coords0[:, 0], xmax)
+    on_walls = (jnp.isclose(coords0[:, 1], ymin)
+                | jnp.isclose(coords0[:, 1], ymax))
+    on_rect = on_inlet | on_outlet | on_walls
+
+    cell_h = min((xmax - xmin), (ymax - ymin)) / resolution
+    geom = snapped_geometry(tris, coords0, per_hole_params, n_holes,
+                            cell_h, boundary_fixed=on_rect)
+    coords = geom.coords
+    area, gradphi = geom.area, geom.gradphi
+    elem_alive, node_alive = geom.elem_alive, geom.node_alive
     mq = jnp.asarray(_MIDPT)
 
-    centroids = verts.mean(axis=1)
-    elem_dead = jax.vmap(
-        lambda c: _is_in_hole(c, per_hole_params, n_holes)
-    )(centroids)
-    elem_alive = 1.0 - elem_dead.astype(jnp.float32)
-    node_alive = jax.ops.segment_max(
-        jnp.repeat(elem_alive, 3), tris.reshape(-1), num_segments=n_nodes
-    )
     node_dead_adjacent = 1.0 - jax.ops.segment_min(
         jnp.repeat(elem_alive, 3), tris.reshape(-1), num_segments=n_nodes
     )
 
-    on_inlet = jnp.isclose(coords[:, 0], xmin)
-    on_outlet = jnp.isclose(coords[:, 0], xmax)
-    on_walls = jnp.isclose(coords[:, 1], ymin) | jnp.isclose(coords[:, 1], ymax)
-    # no-slip: outer walls, pore-interface nodes (alive nodes touching dead
-    # elements), and fully dead nodes
+    # no-slip: outer walls, pore-boundary nodes (alive nodes touching dead
+    # elements — with snapping these sit exactly ON the pore boundary), and
+    # fully dead nodes
     noslip = on_walls | (node_dead_adjacent > 0.5) | (node_alive < 0.5)
     constrained = on_inlet | on_outlet | noslip
 
@@ -146,19 +143,14 @@ def _solve_impl(params, resolution, xmin, xmax, ymin, ymax, max_newton_steps):
     m = resolution + 1
     return SteadyBurgersGroundTruth(
         u_grid=u.reshape(m, m, 2),
+        coords_grid=coords.reshape(m, m, 2),
         alive_grid=node_alive.reshape(m, m),
+        elem_alive=elem_alive,
         bounds=jnp.asarray([xmin, xmax, ymin, ymax], jnp.float32),
         residual_norm=result.residual_norm,
     )
 
 
 def evaluate(gt: SteadyBurgersGroundTruth, x):
-    """Alive-weighted bilinear interpolation (shares the elasticity scheme)."""
-    from .fem_elasticity import evaluate as _ev
-    from .fem_elasticity import ElasticityGroundTruth
-
-    proxy = ElasticityGroundTruth(
-        u_grid=gt.u_grid, alive_grid=gt.alive_grid, bounds=gt.bounds,
-        final_energy=gt.residual_norm,
-    )
-    return _ev(proxy, x)
+    """P1 interpolation on the snapped conforming mesh."""
+    return evaluate_p1(gt.u_grid, gt.coords_grid, gt.elem_alive, gt.bounds, x)

@@ -30,7 +30,9 @@ class GroundTruthCache:
         os.makedirs(cache_dir, exist_ok=True)
 
     def get_or_solve(self, pde, params, resolution: int, extra_hparams=None):
-        hparams = {"resolution": resolution, **(extra_hparams or {})}
+        hparams = {"resolution": resolution,
+                   "gt_version": getattr(pde, "gt_version", 1),
+                   **(extra_hparams or {})}
         key = _key(pde.name, hparams, params)
         path = os.path.join(self.cache_dir, f"{pde.name}_{key}.pickle")
         if os.path.exists(path):
