@@ -33,9 +33,10 @@ def run(cfg: Config, resolutions, ref_resolution: int, n_tasks: int = 4,
     tasks = [pde.sample_params(k) for k in keys]
 
     # reference solves + shared validation points
+    solve_ref = pde.solve_ref or pde.solve
     refs, pts = [], []
     for i, params in enumerate(tasks):
-        gt = pde.solve(params, resolution=ref_resolution)
+        gt = solve_ref(params, resolution=ref_resolution)
         gt = jax.block_until_ready(gt)
         refs.append(gt)
         p = pde.sample_validation_points(

@@ -141,6 +141,10 @@ def make_pde(cfg: TaskConfig) -> PdeDef:
         res = resolution if resolution is not None else 16
         return fem_poisson.solve(params, resolution=res)
 
+    def solve_ref(params, resolution=None, boundary_points=None):
+        res = resolution if resolution is not None else 64
+        return fem_poisson.solve_x64(params, resolution=res)
+
     def sample_validation_points(key, n, params, gt=None):
         return sample_points_in_domain(key, n, params)
 
@@ -156,4 +160,5 @@ def make_pde(cfg: TaskConfig) -> PdeDef:
         solve=solve,
         evaluate_gt=fem_poisson.evaluate,
         sample_validation_points=sample_validation_points,
+        solve_ref=solve_ref,
     )

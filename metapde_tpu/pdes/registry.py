@@ -29,6 +29,8 @@ class PdeDef(NamedTuple):
     sample_validation_points: Callable  # (key, n, params, gt) -> [n, in_dim]
     symmetry_reflect: Callable = None  # optional (coords, vals) mirror for validation
     gt_version: int = 1  # bump when the ground-truth scheme changes (cache key)
+    solve_ref: Callable = None  # optional high-accuracy reference solve
+    #   (e.g. f64 path) used by accuracy sweeps; falls back to `solve`
 
 
 def get_pde(cfg: TaskConfig) -> PdeDef:

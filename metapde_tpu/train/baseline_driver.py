@@ -38,13 +38,18 @@ def run(cfg: Config, spatial_resolutions=(4, 8, 16, 32)):
     gt_params = jax.vmap(pde.sample_params)(gt_keys)
     params_list = tree_unstack(gt_params)
 
-    # high-resolution reference solves
+    # high-resolution reference solves; prefer the pde's dedicated
+    # high-accuracy path (e.g. fem_poisson.solve_x64) when it has one —
+    # an f32 reference's own convergence floor otherwise masks the sweep
+    # (the reference's PETSc oracle is f64 throughout)
+    solve_ref = pde.solve_ref or pde.solve
     ref_res = cfg.solver.ground_truth_resolution
-    log(f"reference solves at resolution {ref_res}")
+    log(f"reference solves at resolution {ref_res}"
+        + (" (x64 path)" if pde.solve_ref else ""))
     ref_vals, coords = [], []
     pts_keys = jax.random.split(pts_key, len(params_list))
     for params, k in zip(params_list, pts_keys):
-        gt = pde.solve(params, resolution=ref_res)
+        gt = solve_ref(params, resolution=ref_res)
         pts = pde.sample_validation_points(
             k, cfg.task.validation_points, params, gt
         )
