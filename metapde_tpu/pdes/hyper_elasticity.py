@@ -273,6 +273,15 @@ def make_pde(cfg: TaskConfig) -> PdeDef:
             top_displacement=TOP_DISPLACEMENT,
         )
 
+    def solve_ref(params, resolution=None, boundary_points=None):
+        res = resolution if resolution is not None else 48
+        return fem_elasticity.solve_x64(
+            params,
+            resolution=res,
+            xmin=dom.xmin, xmax=dom.xmax, ymin=dom.ymin, ymax=dom.ymax,
+            top_displacement=TOP_DISPLACEMENT,
+        )
+
     def sample_validation_points(key, n, params, gt=None):
         return sample_points_in_domain(key, n, params)
 
@@ -289,4 +298,5 @@ def make_pde(cfg: TaskConfig) -> PdeDef:
         evaluate_gt=fem_elasticity.evaluate,
         sample_validation_points=sample_validation_points,
         gt_version=2,  # v2: boundary-snapped conforming mesh (mesh2d.py)
+        solve_ref=solve_ref,
     )

@@ -264,6 +264,13 @@ def make_pde(cfg: TaskConfig) -> PdeDef:
             xmin=dom.xmin, xmax=dom.xmax, ymin=dom.ymin, ymax=dom.ymax,
         )
 
+    def solve_ref(params, resolution=None, boundary_points=None):
+        res = resolution if resolution is not None else 64
+        return fem_steady_burgers.solve_x64(
+            params, resolution=res,
+            xmin=dom.xmin, xmax=dom.xmax, ymin=dom.ymin, ymax=dom.ymax,
+        )
+
     def sample_validation_points(key, n, params, gt=None):
         return sample_points_in_domain(key, n, params)
 
@@ -280,4 +287,5 @@ def make_pde(cfg: TaskConfig) -> PdeDef:
         evaluate_gt=fem_steady_burgers.evaluate,
         sample_validation_points=sample_validation_points,
         gt_version=2,  # v2: boundary-snapped conforming mesh (mesh2d.py)
+        solve_ref=solve_ref,
     )

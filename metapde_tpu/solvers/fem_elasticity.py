@@ -72,8 +72,11 @@ def _build_problem(params, resolution, xmin, xmax, ymin, ymax):
     source_params, bc_params, per_hole_params, n_holes = params
 
     tris = jnp.asarray(mesh_topology(resolution))
+    # dtype follows the task params so the same build serves the f32
+    # training oracle and the f64 accuracy-sweep path (solve_x64)
+    dtype = jnp.result_type(bc_params)
     coords0 = jnp.asarray(
-        node_coords(resolution, xmin, xmax, ymin, ymax), jnp.float32
+        node_coords(resolution, xmin, xmax, ymin, ymax), dtype
     )
     n_nodes = coords0.shape[0]
 
@@ -136,11 +139,15 @@ def _build_problem(params, resolution, xmin, xmax, ymin, ymax):
         g_fn = jax.grad(e_fn)
         alphas = jnp.asarray([1.0, 0.5, 0.25, 0.1, 0.03, 0.01])
 
+        # dtype is static at trace time: the f64 path earns a tighter
+        # Krylov tolerance (f32 stalls below ~1e-5 relative residual)
+        cg_tol = 1e-5 if jnp.result_type(z) == jnp.float32 else 1e-9
+
         def step(z, _):
             g = g_fn(z)
             hvp = lambda v: jax.jvp(g_fn, (z,), (v,))[1]
             dz, _ = jax.scipy.sparse.linalg.cg(
-                hvp, -g, tol=1e-5, maxiter=max(200, 8 * resolution)
+                hvp, -g, tol=cg_tol, maxiter=max(200, 8 * resolution)
             )
             dz = jnp.where(jnp.isfinite(dz), dz, 0.0)
             # candidate-step line search on the true energy
@@ -170,7 +177,8 @@ def _pack(prob, z, resolution, xmin, xmax, ymin, ymax, top_displacement):
         coords_grid=geom.coords.reshape(m, m, 2),
         alive_grid=geom.node_alive.reshape(m, m),
         elem_alive=geom.elem_alive,
-        bounds=jnp.asarray([xmin, xmax, ymin, ymax], jnp.float32),
+        bounds=jnp.asarray([xmin, xmax, ymin, ymax],
+                           prob["coords0"].dtype),
         final_energy=prob["energy"](z, top_displacement),
     )
 
@@ -260,6 +268,34 @@ def solve(
         gt = _refine_stage(params, gt, res, xmin, xmax, ymin, ymax,
                            newton_steps, top_displacement)
     return gt
+
+
+def solve_x64(
+    params,
+    resolution: int = 48,
+    xmin: float = 0.0,
+    xmax: float = 1.0,
+    ymin: float = 0.0,
+    ymax: float = 1.0,
+    load_steps: int = 4,
+    newton_steps: int = 40,
+    top_displacement: float = -0.12,
+):
+    """Double-precision cascadic solve for accuracy sweeps (the reference's
+    PETSc oracle, hyper_elasticity_fenics.py:141-157, is f64 throughout).
+    Casts float leaves of params to f64 and retraces the cascade under
+    `jax.enable_x64`; the Krylov tolerance tightens automatically
+    (dtype-dispatched in `newton_solve`). Eager wrapper — do not call
+    inside an outer jit."""
+    with jax.enable_x64(True):
+        params64 = jax.tree_util.tree_map(
+            lambda a: (jnp.asarray(a, jnp.float64)
+                       if jnp.issubdtype(jnp.result_type(a), jnp.floating)
+                       else jnp.asarray(a)),
+            params,
+        )
+        return solve(params64, resolution, xmin, xmax, ymin, ymax,
+                     load_steps, newton_steps, top_displacement)
 
 
 def evaluate(gt: ElasticityGroundTruth, x):

@@ -58,8 +58,10 @@ def _solve_impl(params, resolution, xmin, xmax, ymin, ymax, max_newton_steps):
     nu = 1.0 / re
 
     tris = jnp.asarray(mesh_topology(resolution))
+    # dtype follows the task params (f64 under solve_x64)
+    dtype = jnp.result_type(bc_params)
     coords0 = jnp.asarray(
-        node_coords(resolution, xmin, xmax, ymin, ymax), jnp.float32
+        node_coords(resolution, xmin, xmax, ymin, ymax), dtype
     )
     n_nodes = coords0.shape[0]
 
@@ -131,10 +133,14 @@ def _solve_impl(params, resolution, xmin, xmax, ymin, ymax, max_newton_steps):
     diag2 = jnp.stack([diag, diag], axis=1)
     diag2 = jnp.where(constrained[:, None], 1.0, diag2).reshape(-1)
 
-    z0 = jnp.zeros(n_nodes * 2)
+    # tighter tolerances in f64 (the f32 Newton stalls below ~2e-5)
+    f64 = dtype == jnp.float64
+    z0 = jnp.zeros(n_nodes * 2, dtype)
     result = newton_krylov(
-        residual, z0, max_steps=max_newton_steps, rel_tol=2e-5,
-        krylov_tol=1e-6, krylov_max_iters=max(300, 20 * resolution),
+        residual, z0, max_steps=max_newton_steps,
+        rel_tol=1e-9 if f64 else 2e-5,
+        krylov_tol=1e-10 if f64 else 1e-6,
+        krylov_max_iters=max(300, 20 * resolution),
         precond_diag=diag2,
     )
 
@@ -146,9 +152,27 @@ def _solve_impl(params, resolution, xmin, xmax, ymin, ymax, max_newton_steps):
         coords_grid=coords.reshape(m, m, 2),
         alive_grid=node_alive.reshape(m, m),
         elem_alive=elem_alive,
-        bounds=jnp.asarray([xmin, xmax, ymin, ymax], jnp.float32),
+        bounds=jnp.asarray([xmin, xmax, ymin, ymax], dtype),
         residual_norm=result.residual_norm,
     )
+
+
+def solve_x64(params, resolution: int = 64, xmin: float = -1.0,
+              xmax: float = 1.0, ymin: float = -1.0, ymax: float = 1.0,
+              max_newton_steps: int = 30):
+    """Double-precision solve for accuracy sweeps (the reference's
+    Newton/MUMPS path, burgers_fenics.py:54-166, is f64 throughout).
+    Eager wrapper — do not call inside an outer jit."""
+    with jax.enable_x64(True):
+        params64 = jax.tree_util.tree_map(
+            lambda a: (jnp.asarray(a, jnp.float64)
+                       if jnp.issubdtype(jnp.result_type(a), jnp.floating)
+                       else jnp.asarray(a)),
+            params,
+        )
+        with jax.default_matmul_precision("highest"):
+            return _solve_impl(params64, resolution, xmin, xmax, ymin, ymax,
+                               max_newton_steps)
 
 
 def evaluate(gt: SteadyBurgersGroundTruth, x):
