@@ -173,6 +173,19 @@ def make_pde(cfg: TaskConfig) -> PdeDef:
             tmax=dom.tmax,
         )
 
+    def _fv_solve_ref(params, resolution=None, boundary_points=None):
+        res = resolution if resolution is not None else 1024
+        return fv_burgers.solve_x64(
+            params,
+            resolution=res,
+            num_tsteps=cfg.num_tsteps,
+            max_reynolds=cfg.max_reynolds,
+            ic_fn=form.ic_fn,
+            xmin=dom.xmin,
+            xmax=dom.xmax,
+            tmax=dom.tmax,
+        )
+
     def sample_validation_points(key, n, params, gt=None):
         """Space random, time cycling through the solver's output grid
         (reference trainer_util.py:61-68)."""
@@ -200,4 +213,6 @@ def make_pde(cfg: TaskConfig) -> PdeDef:
             fem_td_burgers.evaluate if use_fem_gt else fv_burgers.evaluate
         ),
         sample_validation_points=sample_validation_points,
+        # the fem gt has no f64 path; its sweeps fall back to `solve`
+        solve_ref=None if use_fem_gt else _fv_solve_ref,
     )

@@ -138,6 +138,21 @@ def solve(
     return BurgersGroundTruth(u_grid=u_grid, x_grid=x_grid, t_grid=t_grid)
 
 
+def solve_x64(params, **kw):
+    """Double-precision FV solve for accuracy sweeps: over ~1e5 SSP-RK3
+    substeps the f32 path accumulates round-off; the reference's own FV
+    baseline runs with x64 enabled (td_burgers_jax_new.py:9). Eager
+    wrapper — do not call inside an outer jit."""
+    with jax.enable_x64(True):
+        params64 = jax.tree_util.tree_map(
+            lambda a: (jnp.asarray(a, jnp.float64)
+                       if jnp.issubdtype(jnp.result_type(a), jnp.floating)
+                       else jnp.asarray(a)),
+            params,
+        )
+        return solve(params64, **kw)
+
+
 def evaluate(gt: BurgersGroundTruth, xt):
     """Evaluate u at (x, t) = xt[0], xt[1] by bilinear interpolation."""
     x, t = xt[0], xt[1]

@@ -48,6 +48,17 @@ def test_elasticity_x64_matches_f32_solve():
     assert _rel(gt32.u_grid, gt64.u_grid) < 2e-2
 
 
+def test_fv_burgers_x64_matches_f32_solve():
+    cfg = TaskConfig(pde="td_burgers",
+                     domain=DomainConfig(xmin=0.0, xmax=1.0))
+    pde = get_pde(cfg)
+    params = pde.sample_params(jax.random.PRNGKey(3))
+    gt32 = pde.solve(params, resolution=128)
+    gt64 = pde.solve_ref(params, resolution=128)
+    assert gt64.u_grid.dtype == jnp.float64
+    assert _rel(gt32.u_grid, gt64.u_grid) < 1e-3
+
+
 def test_steady_burgers_x64_matches_f32_solve():
     dom = DomainConfig(xmin=0.0, xmax=1.0, ymin=-1.0, ymax=1.0)
     cfg = TaskConfig(pde="steady_burgers", domain=dom)
