@@ -44,15 +44,25 @@ class SteadyBurgersGroundTruth(NamedTuple):
 
 
 @partial(jax.jit, static_argnames=("resolution", "xmin", "xmax", "ymin",
-                                   "ymax", "max_newton_steps"))
+                                   "ymax", "max_newton_steps", "precond"))
 def solve(params, resolution: int = 32, xmin: float = -1.0, xmax: float = 1.0,
-          ymin: float = -1.0, ymax: float = 1.0, max_newton_steps: int = 20):
+          ymin: float = -1.0, ymax: float = 1.0, max_newton_steps: int = 20,
+          precond: str = "auto"):
+    """precond: "jacobi", "mg" (rect-lattice geometric multigrid on the
+    snapped pore meshes, multigrid.make_rect_mg_preconditioner), or "auto".
+
+    auto = jacobi at every resolution: measured at res 64/128 (CPU), the
+    V-cycle reaches the same residual but costs 1.8x/1.0x the wall time —
+    the rect chart at Re <= 10 is isotropic and mildly conditioned, so
+    Jacobi-BiCGStab does not stagnate the way the polar star chart does
+    (fem_poisson). mg stays available for stiffer regimes."""
     with jax.default_matmul_precision("highest"):
         return _solve_impl(params, resolution, xmin, xmax, ymin, ymax,
-                           max_newton_steps)
+                           max_newton_steps, precond)
 
 
-def _solve_impl(params, resolution, xmin, xmax, ymin, ymax, max_newton_steps):
+def _solve_impl(params, resolution, xmin, xmax, ymin, ymax, max_newton_steps,
+                precond="auto"):
     source_params, bc_params, per_hole_params, n_holes = params
     re = source_params[0]
     nu = 1.0 / re
@@ -133,6 +143,17 @@ def _solve_impl(params, resolution, xmin, xmax, ymin, ymax, max_newton_steps):
     diag2 = jnp.stack([diag, diag], axis=1)
     diag2 = jnp.where(constrained[:, None], 1.0, diag2).reshape(-1)
 
+    if precond == "auto":
+        precond = "jacobi"
+    precond_apply = None
+    if precond == "mg":
+        from .multigrid import make_rect_mg_preconditioner
+
+        precond_apply = make_rect_mg_preconditioner(
+            per_hole_params, n_holes, resolution,
+            xmin, xmax, ymin, ymax, coeff=nu, vector_dim=2,
+        )
+
     # tighter tolerances in f64 (the f32 Newton stalls below ~2e-5)
     f64 = dtype == jnp.float64
     z0 = jnp.zeros(n_nodes * 2, dtype)
@@ -142,6 +163,7 @@ def _solve_impl(params, resolution, xmin, xmax, ymin, ymax, max_newton_steps):
         krylov_tol=1e-10 if f64 else 1e-6,
         krylov_max_iters=max(300, 20 * resolution),
         precond_diag=diag2,
+        precond_apply=precond_apply,
     )
 
     u = jnp.where(constrained[:, None], bc_val,

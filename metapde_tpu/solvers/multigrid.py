@@ -98,13 +98,17 @@ def prolong(u, coarse: Level, fine: Level):
 
 
 def vcycle(levels: Tuple[Level, ...], b, pre_sweeps=2, post_sweeps=2,
-           coarse_sweeps=40, damping=0.7):
+           coarse_sweeps=40, damping=0.7, restrict_fn=None, prolong_fn=None):
     """One multigrid V-cycle for A x = b with zero initial guess.
 
     A fixed linear operator in b (required for Krylov preconditioning).
+    Transfers default to the polar (center, rings) pair; the rect-lattice
+    levels pass their own.
     """
+    rfn = restrict if restrict_fn is None else restrict_fn
+    pfn = prolong if prolong_fn is None else prolong_fn
 
-    def smooth(level: Level, x, rhs, sweeps):
+    def smooth(level, x, rhs, sweeps):
         for _ in range(sweeps):
             x = x + damping * (rhs - level.apply(x)) / level.diag
         return x
@@ -119,13 +123,135 @@ def vcycle(levels: Tuple[Level, ...], b, pre_sweeps=2, post_sweeps=2,
         # their coarse correction at zero
         res = jnp.where(level.bdry_mask, 0.0, res)
         coarse = levels[li + 1]
-        cres = restrict(res, level, coarse)
+        cres = rfn(res, level, coarse)
         cres = jnp.where(coarse.bdry_mask, 0.0, cres)
         corr = cycle(li + 1, cres)
-        x = x + jnp.where(level.bdry_mask, 0.0, prolong(corr, coarse, level))
+        x = x + jnp.where(level.bdry_mask, 0.0, pfn(corr, coarse, level))
         return smooth(level, x, rhs, post_sweeps)
 
     return cycle(0, b)
+
+
+class RectLevel(NamedTuple):
+    apply: Callable          # linear operator on node vectors [m*m]
+    diag: jnp.ndarray
+    m: int                   # nodes per side (resolution + 1)
+    bdry_mask: jnp.ndarray   # constrained rows (identity in the operator)
+
+
+def _rect_restrict(u, fine: RectLevel, coarse: RectLevel):
+    """Vertex-centered full weighting on the lattice, m_f -> m_c."""
+    g = u.reshape(fine.m, fine.m)
+    gp = jnp.pad(g, 1)
+    s = (
+        4.0 * gp[1:-1, 1:-1]
+        + 2.0 * (gp[:-2, 1:-1] + gp[2:, 1:-1]
+                 + gp[1:-1, :-2] + gp[1:-1, 2:])
+        + (gp[:-2, :-2] + gp[:-2, 2:] + gp[2:, :-2] + gp[2:, 2:])
+    ) / 16.0
+    return s[::2, ::2].reshape(-1)
+
+
+def _rect_prolong(u, coarse: RectLevel, fine: RectLevel):
+    """Bilinear interpolation on the lattice, m_c -> m_f."""
+    gc = u.reshape(coarse.m, coarse.m)
+    out = jnp.zeros((fine.m, fine.m), gc.dtype)
+    out = out.at[::2, ::2].set(gc)
+    out = out.at[1::2, ::2].set(0.5 * (gc[:-1, :] + gc[1:, :]))
+    out = out.at[::2, 1::2].set(0.5 * (gc[:, :-1] + gc[:, 1:]))
+    out = out.at[1::2, 1::2].set(
+        0.25 * (gc[:-1, :-1] + gc[1:, :-1] + gc[:-1, 1:] + gc[1:, 1:])
+    )
+    return out.reshape(-1)
+
+
+def make_rect_mg_preconditioner(per_hole_params, n_holes, resolution: int,
+                                xmin, xmax, ymin, ymax, coeff=1.0,
+                                min_resolution: int = 8, vector_dim: int = 1,
+                                **vcycle_kwargs):
+    """V-cycle preconditioner for the snapped-lattice pore-domain solvers
+    (fem_steady_burgers / fem_elasticity).
+
+    Rediscretizes the coeff-scaled unit stiffness operator on each level's
+    OWN snapped mesh (mesh2d.snapped_geometry at resolution, resolution/2,
+    ...): elements inside pores are dead, and constrained rows — outer
+    rectangle, pore-boundary (dead-adjacent) nodes, dead nodes — are held
+    as identity, matching the solvers' residual row structure. For
+    vector_dim > 1 the scalar V-cycle is applied per component
+    (block-diagonal preconditioner; the viscous/elastic coupling between
+    components is left to the outer Krylov iteration).
+    """
+    from .mesh2d import mesh_topology, node_coords, snapped_geometry
+
+    res_list = []
+    r = resolution
+    while r >= min_resolution * 2 and r % 2 == 0:
+        res_list.append(r)
+        r //= 2
+    res_list.append(r)
+
+    levels = []
+    for res in res_list:
+        tris = jnp.asarray(mesh_topology(res))
+        coords0 = jnp.asarray(
+            node_coords(res, xmin, xmax, ymin, ymax),
+            jnp.result_type(per_hole_params),
+        )
+        n_nodes = coords0.shape[0]
+        on_rect = (
+            jnp.isclose(coords0[:, 0], xmin)
+            | jnp.isclose(coords0[:, 0], xmax)
+            | jnp.isclose(coords0[:, 1], ymin)
+            | jnp.isclose(coords0[:, 1], ymax)
+        )
+        cell_h = min((xmax - xmin), (ymax - ymin)) / res
+        geom = snapped_geometry(tris, coords0, per_hole_params, n_holes,
+                                cell_h, boundary_fixed=on_rect)
+        area, gradphi = geom.area, geom.gradphi
+        elem_alive, node_alive = geom.elem_alive, geom.node_alive
+        node_dead_adjacent = 1.0 - jax.ops.segment_min(
+            jnp.repeat(elem_alive, 3), tris.reshape(-1),
+            num_segments=n_nodes,
+        )
+        bdry_mask = (on_rect | (node_dead_adjacent > 0.5)
+                     | (node_alive < 0.5))
+
+        def apply(u, tris=tris, gradphi=gradphi, area=area,
+                  elem_alive=elem_alive, n_nodes=n_nodes,
+                  bdry_mask=bdry_mask):
+            ue = u[tris]
+            grad_u = jnp.einsum("ek,ekd->ed", ue, gradphi)
+            flux = coeff * jnp.einsum(
+                "e,ed,ekd->ek", area * elem_alive, grad_u, gradphi
+            )
+            r = jax.ops.segment_sum(
+                flux.reshape(-1), tris.reshape(-1), num_segments=n_nodes
+            )
+            return jnp.where(bdry_mask, u, r)
+
+        diag_elem = coeff * (area * elem_alive)[:, None] \
+            * jnp.sum(gradphi ** 2, axis=2)
+        diag = jax.ops.segment_sum(
+            diag_elem.reshape(-1), tris.reshape(-1), num_segments=n_nodes
+        )
+        diag = jnp.where(bdry_mask, 1.0, jnp.maximum(diag, 1e-12))
+        levels.append(RectLevel(apply=apply, diag=diag, m=res + 1,
+                                bdry_mask=bdry_mask))
+
+    scalar_cycle = partial(vcycle, tuple(levels),
+                           restrict_fn=_rect_restrict,
+                           prolong_fn=_rect_prolong, **vcycle_kwargs)
+    if vector_dim == 1:
+        return scalar_cycle
+
+    def vector_cycle(v):
+        g = v.reshape(-1, vector_dim)
+        out = jnp.stack(
+            [scalar_cycle(g[:, d]) for d in range(vector_dim)], axis=1
+        )
+        return out.reshape(-1)
+
+    return vector_cycle
 
 
 def make_polar_mg_preconditioner(geo_params, resolution: int,
