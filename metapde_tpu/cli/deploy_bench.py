@@ -90,6 +90,7 @@ def run(cfg: Config, algo: str = "maml", inner_steps_list=(0, 1, 2, 5, 10, 20),
             "val_rel_err": float(val.rel_err),
             "val_rel_err_std": float(val.rel_err_std),
             "val_rel_err_median": float(val.rel_err_median),
+            "val_rel_err_p90": float(val.rel_err_p90),
         }
         rows.append(row)
         print(json.dumps(row))

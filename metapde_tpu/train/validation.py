@@ -68,6 +68,9 @@ class ValidationResult(NamedTuple):
     # has near-zero norm, which explode the mean relative metric (the
     # reference metric shares the hazard; both are reported)
     rel_err_median: jnp.ndarray = None
+    # 90th percentile of per-task rel err: quantifies the heavy tail that
+    # dominates the mean on pore-geometry families (a few hard geometries)
+    rel_err_p90: jnp.ndarray = None
 
 
 def make_validation_fn(
@@ -144,6 +147,9 @@ def make_validation_fn(
             rel_err_std=jnp.std(jnp.mean(rel_sq_err, axis=(1, 2))),
             t_rel_sq_err=t_rel,
             rel_err_median=jnp.median(jnp.mean(rel_sq_err, axis=(1, 2))),
+            rel_err_p90=jnp.percentile(
+                jnp.mean(rel_sq_err, axis=(1, 2)), 90.0
+            ),
         )
 
     return jax.jit(validation_error)
