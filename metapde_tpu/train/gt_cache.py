@@ -12,6 +12,7 @@ import os
 import pickle
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 
@@ -39,11 +40,14 @@ class GroundTruthCache:
             with open(path, "rb") as f:
                 stored = pickle.load(f)
             leaves, treedef = stored["leaves"], stored["treedef"]
+            # re-wrap as device arrays: numpy leaves break traced indexing
+            # (vmap'd evaluate_gt) downstream
+            leaves = [jnp.asarray(l) for l in leaves]
             return jax.tree_util.tree_unflatten(treedef, leaves)
         gt = pde.solve(params, resolution=resolution)
-        gt = jax.tree_util.tree_map(lambda x: jax.device_get(x), gt)
-        leaves, treedef = jax.tree_util.tree_flatten(gt)
+        host = jax.tree_util.tree_map(lambda x: jax.device_get(x), gt)
+        leaves, treedef = jax.tree_util.tree_flatten(host)
         with open(path, "wb") as f:
             pickle.dump({"leaves": leaves, "treedef": treedef}, f,
                         protocol=pickle.HIGHEST_PROTOCOL)
-        return gt
+        return gt  # the device-resident tree, not the pickled host copy

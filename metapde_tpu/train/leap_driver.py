@@ -9,6 +9,7 @@ Same shape as the MAML driver with the reference's differences preserved:
 """
 
 import dataclasses
+import os
 from functools import partial
 from typing import Optional
 
@@ -216,6 +217,9 @@ def run(cfg: Config):
     bundle = get_ground_truth(
         pde, gt_params, gt_points_key, cfg.task.validation_points,
         cfg.solver.ground_truth_resolution,
+        cache_dir=(os.path.join(cfg.train.out_dir, "gt_cache")
+                   if cfg.train.out_dir else None),
+        cache_extra={"task": dataclasses.asdict(cfg.task)},
     )
     validation_fn = make_validation_fn(
         pde,

@@ -32,15 +32,30 @@ class GroundTruthBundle(NamedTuple):
     gt_params: object     # stacked task params
 
 
-def get_ground_truth(pde, gt_params_stacked, key, n_points, resolution):
+def get_ground_truth(pde, gt_params_stacked, key, n_points, resolution,
+                     cache_dir=None, cache_extra=None):
     """Solve each eval task with the JAX-native solver and tabulate values at
-    sampled validation coords (reference trainer_util.py:36-75)."""
+    sampled validation coords (reference trainer_util.py:36-75).
+
+    cache_dir: optional GroundTruthCache directory. Eval-task params derive
+    deterministically from the run seed, so supervisor relaunches
+    (pipeline/supervise.sh) hit the cache instead of re-solving + paying
+    the solver's compile through the device tunnel."""
     params_list = tree_unstack(gt_params_stacked)
     keys = jax.random.split(key, len(params_list))
+    cache = None
+    if cache_dir:
+        from .gt_cache import GroundTruthCache
+
+        cache = GroundTruthCache(cache_dir)
 
     gts, coords, vals = [], [], []
     for params, k in zip(params_list, keys):
-        gt = pde.solve(params, resolution=resolution)
+        if cache is not None:
+            gt = cache.get_or_solve(pde, params, resolution,
+                                    extra_hparams=cache_extra)
+        else:
+            gt = pde.solve(params, resolution=resolution)
         pts = pde.sample_validation_points(k, n_points, params, gt)
         v = jax.vmap(lambda x: pde.evaluate_gt(gt, x))(pts)
         if v.ndim == 1:
