@@ -11,7 +11,9 @@
 # Usage: supervise.sh <out_dir> <expt_prefix> <max_retries> <stall_s> -- <cmd...>
 # stall_s must exceed the worst-case gap between metrics.jsonl writes
 # (train.log_every steps) plus first-compile time; the stall clock only
-# arms once metrics.jsonl is non-empty.
+# arms once metrics.jsonl is non-empty. BEFORE that (ground-truth solves +
+# first compile can also wedge), a launch deadline of 3*stall_s since
+# child start applies instead.
 set -u
 OUT_DIR=$1; EXPT=$2; MAX_RETRIES=$3; STALL_S=$4; shift 4
 [ "$1" = "--" ] && shift
@@ -39,6 +41,7 @@ while true; do
     "$@" &
   fi
   CHILD=$!
+  LAUNCHED=$(date +%s)
 
   rc=""
   while true; do
@@ -48,7 +51,19 @@ while true; do
       break
     fi
     M=$(newest_metrics)
-    [ -n "$M" ] && [ -s "$M" ] || continue
+    if ! { [ -n "$M" ] && [ -s "$M" ]; }; then
+      # pre-metrics phase: gt solves / first compile may wedge too
+      SINCE=$(( $(date +%s) - LAUNCHED ))
+      if [ "$SINCE" -gt $((3 * STALL_S)) ]; then
+        echo "supervise: no metrics ${SINCE}s after launch; killing child $CHILD"
+        kill "$CHILD" 2>/dev/null; sleep 10
+        kill -9 "$CHILD" 2>/dev/null
+        wait "$CHILD" 2>/dev/null
+        rc=launch-stall
+        break
+      fi
+      continue
+    fi
     AGE=$(( $(date +%s) - $(stat -c %Y "$M") ))
     if [ "$AGE" -gt "$STALL_S" ]; then
       echo "supervise: $M stalled ${AGE}s; killing child $CHILD"
