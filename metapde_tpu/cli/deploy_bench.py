@@ -60,9 +60,18 @@ def run(cfg: Config, algo: str = "maml", inner_steps_list=(0, 1, 2, 5, 10, 20),
     key, gt_key, pts_key = jax.random.split(key, 3)
     gt_keys = jax.random.split(gt_key, cfg.task.n_eval)
     gt_params = jax.vmap(pde.sample_params)(gt_keys)
+    # cache next to the meta run (results_<family>/gt_cache), keyed on the
+    # PRNG key bytes: deterministic from cfg.seed, so a CPU process can
+    # pre-warm these solves for a TPU bench (see train/gt_cache.py)
+    import dataclasses as _dc
     bundle = get_ground_truth(
         pde, gt_params, pts_key, cfg.task.validation_points,
         cfg.solver.ground_truth_resolution,
+        cache_dir=os.path.join(os.path.dirname(expt.rstrip("/")) or ".",
+                               "gt_cache"),
+        cache_extra={"deploy_seed": cfg.seed + 7919,
+                     "task": _dc.asdict(cfg.task)},
+        cache_keys=gt_keys,
     )
 
     rows = []

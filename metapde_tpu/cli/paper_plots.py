@@ -22,11 +22,12 @@ Each --deploy may be LABEL:path; --ref-point adds published reference numbers
 (BASELINE.md) as open gray context markers, "label:time_s:rel_err".
 """
 
+import glob as globlib
 import json
 import os
 import sys
 
-from ..train.analysis import load_baseline
+from ..train.analysis import accuracy_vs_time, load_baseline
 
 # Categorical slots 1-3 of the validated default palette (dataviz skill
 # references/palette.md; the 3-slot prefix passes the all-pairs CVD/normal
@@ -53,7 +54,35 @@ def _load_deploy(path):
     return rows
 
 
-def make_figure(title, baseline_dir, deploys, ref_points, out_path):
+def _finetune_median_curve(pattern):
+    """Median accuracy-vs-cumulative-time curve over seed runs matching
+    `pattern` (dirs with metrics.jsonl from nn_pde deployment fine-tunes).
+    Returns [(t, err), ...] at each logged step index, with best-so-far
+    error per seed before taking the median (the notebook's monotone
+    deployment-curve convention, resultAnalysis cells 6-8)."""
+    paths = sorted(d for d in globlib.glob(pattern) if os.path.isdir(d))
+    curves = accuracy_vs_time(paths)
+    series = []
+    for c in curves:
+        pts, best = [], float("inf")
+        for p in c["points"]:
+            best = min(best, p["val_rel_err"])
+            pts.append((p["time"], best))
+        if pts:
+            series.append(pts)
+    if not series:
+        return []
+    n = min(len(s) for s in series)
+    out = []
+    for i in range(n):
+        ts = sorted(s[i][0] for s in series)
+        es = sorted(s[i][1] for s in series)
+        out.append((ts[len(ts) // 2], es[len(es) // 2]))
+    return out
+
+
+def make_figure(title, baseline_dir, deploys, ref_points, out_path,
+                finetunes=()):
     import matplotlib
 
     matplotlib.use("Agg")
@@ -101,6 +130,17 @@ def make_figure(title, baseline_dir, deploys, ref_points, out_path):
                         textcoords="offset points", xytext=(6, dy),
                         fontsize=7.5, color=TEXT_2)
 
+    for label, pattern in finetunes:
+        pts = _finetune_median_curve(pattern)
+        if not pts:
+            continue
+        base = label.split()[0]  # e.g. "MAML fine-tune" -> MAML's hue
+        c = ENTITY_COLORS.get(base, SERIES_COLORS[n_series % len(SERIES_COLORS)])
+        n_series += 1
+        ax.plot([p[0] for p in pts], [p[1] for p in pts], "--",
+                color=c, linewidth=2,
+                label=f"{label} (median of seeds)")
+
     for label, t, e in ref_points:
         ax.plot([t], [e], "o", markerfacecolor="none",
                 markeredgecolor=REF_GRAY, markersize=7,
@@ -131,7 +171,7 @@ def make_figure(title, baseline_dir, deploys, ref_points, out_path):
 def main(argv=None):
     argv = argv if argv is not None else sys.argv[1:]
     out_dir, title, name, baseline = "figures", "", "pareto", None
-    deploys, ref_points = [], []
+    deploys, ref_points, finetunes = [], [], []
     for a in argv:
         if a.startswith("--out="):
             out_dir = a.split("=", 1)[1]
@@ -147,11 +187,15 @@ def main(argv=None):
         elif a.startswith("--ref-point="):
             label, t, e = a.split("=", 1)[1].rsplit(":", 2)
             ref_points.append((label, float(t), float(e)))
+        elif a.startswith("--finetune="):
+            label, pattern = a.split("=", 1)[1].split(":", 1)
+            finetunes.append((label, pattern))
         else:
             raise SystemExit(f"unknown arg {a}")
     os.makedirs(out_dir, exist_ok=True)
     out_path = os.path.join(out_dir, f"{name}.png")
-    make_figure(title, baseline, deploys, ref_points, out_path)
+    make_figure(title, baseline, deploys, ref_points, out_path,
+                finetunes=finetunes)
     print(out_path)
 
 

@@ -16,12 +16,21 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _key(pde_name: str, hparams: dict, params) -> str:
+def _key(pde_name: str, hparams: dict, params, key_material=None) -> str:
     h = hashlib.sha256()
     h.update(pde_name.encode())
     h.update(repr(sorted(hparams.items())).encode())
-    for leaf in jax.tree_util.tree_leaves(params):
-        h.update(np.asarray(leaf, np.float32).tobytes())
+    if key_material is not None:
+        # Hash the task's PRNG key bytes instead of sampled param values:
+        # threefry key derivation is exact integer math, identical on every
+        # backend, whereas f32 param values diverge in the last bits between
+        # CPU and TPU (transcendentals in the samplers) — so a CPU-prewarmed
+        # cache would never hit from the TPU run if params were hashed.
+        h.update(b"prngkey")
+        h.update(np.asarray(key_material, np.uint32).tobytes())
+    else:
+        for leaf in jax.tree_util.tree_leaves(params):
+            h.update(np.asarray(leaf, np.float32).tobytes())
     return h.hexdigest()[:24]
 
 
@@ -30,11 +39,12 @@ class GroundTruthCache:
         self.cache_dir = cache_dir
         os.makedirs(cache_dir, exist_ok=True)
 
-    def get_or_solve(self, pde, params, resolution: int, extra_hparams=None):
+    def get_or_solve(self, pde, params, resolution: int, extra_hparams=None,
+                     key_material=None):
         hparams = {"resolution": resolution,
                    "gt_version": getattr(pde, "gt_version", 1),
                    **(extra_hparams or {})}
-        key = _key(pde.name, hparams, params)
+        key = _key(pde.name, hparams, params, key_material=key_material)
         path = os.path.join(self.cache_dir, f"{pde.name}_{key}.pickle")
         if os.path.exists(path):
             with open(path, "rb") as f:

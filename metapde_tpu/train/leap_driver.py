@@ -220,6 +220,7 @@ def run(cfg: Config):
         cache_dir=(os.path.join(cfg.train.out_dir, "gt_cache")
                    if cfg.train.out_dir else None),
         cache_extra={"task": dataclasses.asdict(cfg.task)},
+        cache_keys=gt_keys,
     )
     validation_fn = make_validation_fn(
         pde,

@@ -21,6 +21,7 @@ from typing import Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..utils.trees import tree_stack, tree_unstack
 
@@ -33,14 +34,19 @@ class GroundTruthBundle(NamedTuple):
 
 
 def get_ground_truth(pde, gt_params_stacked, key, n_points, resolution,
-                     cache_dir=None, cache_extra=None):
+                     cache_dir=None, cache_extra=None, cache_keys=None):
     """Solve each eval task with the JAX-native solver and tabulate values at
     sampled validation coords (reference trainer_util.py:36-75).
 
     cache_dir: optional GroundTruthCache directory. Eval-task params derive
     deterministically from the run seed, so supervisor relaunches
     (pipeline/supervise.sh) hit the cache instead of re-solving + paying
-    the solver's compile through the device tunnel."""
+    the solver's compile through the device tunnel.
+
+    cache_keys: the per-task PRNG keys the params were sampled from (stacked,
+    [n_eval, 2] uint32). When given, cache entries are keyed on these exact
+    integer key bytes (backend-independent) so a CPU process can pre-warm the
+    cache for a TPU run."""
     params_list = tree_unstack(gt_params_stacked)
     keys = jax.random.split(key, len(params_list))
     cache = None
@@ -48,12 +54,15 @@ def get_ground_truth(pde, gt_params_stacked, key, n_points, resolution,
         from .gt_cache import GroundTruthCache
 
         cache = GroundTruthCache(cache_dir)
+    key_mats = (list(np.asarray(jax.device_get(cache_keys)))
+                if cache_keys is not None else [None] * len(params_list))
 
     gts, coords, vals = [], [], []
-    for params, k in zip(params_list, keys):
+    for params, k, km in zip(params_list, keys, key_mats):
         if cache is not None:
             gt = cache.get_or_solve(pde, params, resolution,
-                                    extra_hparams=cache_extra)
+                                    extra_hparams=cache_extra,
+                                    key_material=km)
         else:
             gt = pde.solve(params, resolution=resolution)
         pts = pde.sample_validation_points(k, n_points, params, gt)

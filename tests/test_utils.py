@@ -120,6 +120,31 @@ def test_gt_cache_roundtrip(tmp_path):
     assert len(os.listdir(str(tmp_path))) == 2
 
 
+def test_gt_cache_key_material(tmp_path):
+    """Keyed on PRNG key bytes, the cache hits even when the param float
+    values differ in the last bits (CPU-prewarmed cache for a TPU run)."""
+    from metapde_tpu.config import TaskConfig
+    from metapde_tpu.pdes import get_pde
+    from metapde_tpu.train.gt_cache import GroundTruthCache
+
+    pde = get_pde(TaskConfig(pde="poisson"))
+    task_key = jax.random.PRNGKey(3)
+    params = pde.sample_params(task_key)
+    cache = GroundTruthCache(str(tmp_path))
+    cache.get_or_solve(pde, params, resolution=2,
+                       key_material=np.asarray(task_key))
+    assert len(os.listdir(str(tmp_path))) == 1
+    # perturb params below f32 sampling noise: still hits via key bytes
+    perturbed = jax.tree_util.tree_map(lambda x: x * (1 + 1e-7), params)
+    cache.get_or_solve(pde, perturbed, resolution=2,
+                       key_material=np.asarray(task_key))
+    assert len(os.listdir(str(tmp_path))) == 1
+    # a different task key -> a different entry
+    cache.get_or_solve(pde, params, resolution=2,
+                       key_material=np.asarray(jax.random.PRNGKey(4)))
+    assert len(os.listdir(str(tmp_path))) == 2
+
+
 def test_analysis_summary(tmp_path):
     from metapde_tpu.train.analysis import load_run, summarize
 
