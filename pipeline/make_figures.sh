@@ -12,6 +12,7 @@ python -m metapde_tpu.cli.paper_plots --out=figures \
   --title="Poisson: accuracy vs wall time per task" --name=pareto_poisson \
   --baseline=baselines/poisson \
   --deploy=MAML:results_poisson_maml/tpu_run6b/deploy_bench.jsonl \
+  --finetune="MAML fine-tune (CPU):results_poisson_deploy/deploy_maml_seed_*" \
   --ref-point="ref FEM res 2:0.22:6.3e-3" \
   --ref-point="ref FEM res 8:1.04:4.3e-5"
 
