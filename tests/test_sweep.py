@@ -41,3 +41,32 @@ def test_sweep_runs_jobs_end_to_end(tmp_path):
         d = tmp_path / f"sw_seed_{s}"
         assert (d / "metrics.jsonl").exists(), r.stdout + r.stderr
         assert os.path.getsize(d / "metrics.jsonl") > 0
+
+
+def test_finetune_median_curve(tmp_path):
+    """paper_plots median deployment curve: compile time replaced by the
+    steady-state dt, best-so-far monotonicity, median across seeds."""
+    import json
+
+    from metapde_tpu.cli.paper_plots import _finetune_median_curve
+
+    # two seed runs; first record's dt is compile-dominated (10 s vs 1 s)
+    for seed, errs in ((1, [0.5, 0.2, 0.3, 0.1]), (2, [0.7, 0.4, 0.2, 0.2])):
+        d = tmp_path / f"run_seed_{seed}"
+        d.mkdir()
+        with open(d / "metrics.jsonl", "w") as f:
+            for i, e in enumerate(errs):
+                f.write(json.dumps({
+                    "step": i * 5, "val_rel_err": e,
+                    "step_time": 10.0 if i == 0 else 1.0,
+                }) + "\n")
+    pts = _finetune_median_curve(str(tmp_path / "run_seed_*"))
+    assert len(pts) == 4
+    # compile dt replaced by steady median -> cumulative times 1,2,3,4
+    assert [round(t, 6) for t, _ in pts] == [1.0, 2.0, 3.0, 4.0]
+    # median of per-seed best-so-far: [.5,.7]->.7? no: median of sorted pair
+    # picks index len//2 = upper; best-so-far seq per seed:
+    # seed1 .5 .2 .2 .1 ; seed2 .7 .4 .2 .2 -> upper-median .7 .4 .2 .2
+    assert [e for _, e in pts] == [0.7, 0.4, 0.2, 0.2]
+    # errors never increase along the curve
+    assert all(pts[i][1] >= pts[i + 1][1] for i in range(len(pts) - 1))
