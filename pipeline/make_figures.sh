@@ -26,6 +26,7 @@ python -m metapde_tpu.cli.paper_plots --out=figures \
 
 python -m metapde_tpu.cli.paper_plots --out=figures \
   --title="Hyperelasticity: accuracy vs wall time per task" --name=pareto_elasticity \
+  --baseline=baselines/hyper_elasticity \
   --deploy=MAML:results_elasticity_maml/tpu_run1/deploy_bench.jsonl \
   --deploy=LEAP:results_elasticity_leap/lde1/deploy_bench.jsonl \
   --ref-point="ref FEM res (8,12):20.6:9.1e-4" \
