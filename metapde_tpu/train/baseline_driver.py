@@ -80,6 +80,10 @@ def run(cfg: Config, spatial_resolutions=(4, 8, 16, 32)):
         results[str(res)] = {
             "rel_mse": float(np.mean(errs)),
             "rel_mse_std": float(np.std(errs)),
+            # the mean is tail-dominated on pore-geometry families (a few
+            # hard tasks); report the median alongside, matching the
+            # deploy-bench metrics
+            "rel_mse_median": float(np.median(errs)),
             "time_per_solve": float(np.mean(times)),
         }
         log(f"res {res}: rel_mse {np.mean(errs):.3e} @ {np.mean(times):.4f}s/solve")
