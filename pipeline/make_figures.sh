@@ -12,7 +12,9 @@ python -m metapde_tpu.cli.paper_plots --out=figures \
   --title="Poisson: accuracy vs wall time per task" --name=pareto_poisson \
   --baseline=baselines/poisson \
   --deploy=MAML:results_poisson_maml/tpu_run6b/deploy_bench.jsonl \
+  --deploy=LEAP:results_poisson_leap/lp2_4/deploy_bench.jsonl \
   --finetune="MAML fine-tune (CPU):results_poisson_deploy/deploy_maml_seed_*" \
+  --finetune="LEAP fine-tune (CPU):results_poisson_deploy/deploy_leap_seed_*" \
   --ref-point="ref FEM res 2:0.22:6.3e-3" \
   --ref-point="ref FEM res 8:1.04:4.3e-5"
 
@@ -21,6 +23,8 @@ python -m metapde_tpu.cli.paper_plots --out=figures \
   --baseline=baselines/td_burgers \
   --deploy=MAML:results_burgers_maml/tpu_run2/deploy_bench.jsonl \
   --deploy=LEAP:results_burgers_leap/ldb3_1/deploy_bench.jsonl \
+  --finetune="MAML fine-tune (CPU):results_burgers_deploy/deploy_maml_seed_*" \
+  --finetune="LEAP fine-tune (CPU):results_burgers_deploy/deploy_leap_seed_*" \
   --ref-point="ref FV res 16:41:2.1e-2" \
   --ref-point="ref FV res 256:42:6.3e-4"
 
