@@ -46,3 +46,44 @@ def latest_checkpoint(path: str) -> Optional[str]:
 def load_checkpoint(fname: str) -> dict:
     with open(fname, "rb") as f:
         return pickle.load(f)
+
+
+def config_drift(expt_dir: str, cfg, sections=("task", "model", "solver")):
+    """Diff the current run's config against the loaded run's config.json.
+
+    Returns a list of "section.field: old -> new" strings for fields that
+    differ within `sections` (the ones that define the training objective,
+    the model, and the ground-truth oracle). Motivated by a real incident:
+    a supervised relaunch command omitted --task.bc_weight, silently
+    flipping the loss weighting 100x mid-run — the training drivers now
+    log each drifted field loudly on resume. Missing or unreadable
+    config.json yields an empty list (reference-format checkpoints carry
+    no config).
+    """
+    import dataclasses
+    import json
+
+    fname = os.path.join(expt_dir, "config.json")
+    try:
+        with open(fname) as f:
+            old = json.load(f)
+    except (OSError, ValueError):
+        return []
+    new = dataclasses.asdict(cfg)
+
+    def flat(d, prefix=""):
+        out = {}
+        for k, v in d.items():
+            if isinstance(v, dict):
+                out.update(flat(v, f"{prefix}{k}."))
+            else:
+                out[f"{prefix}{k}"] = v
+        return out
+
+    drifts = []
+    for sec in sections:
+        a, b = flat(old.get(sec, {}) or {}), flat(new.get(sec, {}) or {})
+        for k in sorted(set(a) | set(b)):
+            if a.get(k) != b.get(k):
+                drifts.append(f"{sec}.{k}: {a.get(k)!r} -> {b.get(k)!r}")
+    return drifts

@@ -196,6 +196,8 @@ def run(cfg: Config):
             params = jax.tree_util.tree_map(jnp.asarray, state["params"])
             resume_state = state
             log(f"loaded checkpoint {fname}")
+            for d in ckpt.config_drift(cfg.train.load_model_from_expt, cfg):
+                log(f"WARNING: config drift vs loaded run: {d}")
 
     opt_state = c["outer_opt"].init(params)
     if resume_state is not None and resume_state.get("opt_state") is not None:

@@ -284,6 +284,8 @@ def run(cfg: Config):
                 )
             resume_state = state
             log(f"loaded checkpoint {fname}")
+            for d in ckpt.config_drift(cfg.train.load_model_from_expt, cfg):
+                log(f"WARNING: config drift vs loaded run: {d}")
 
     opt_state = c["outer_opt"].init(params)
     lr_opt_state = c["lr_opt"].init(inner_lrs)

@@ -193,6 +193,11 @@ def run(cfg: Config, maml_warmup: bool = False):
                     jnp.asarray, state["inner_lrs"]
                 )
             log(f"loaded checkpoint {fname}")
+            # deployment fine-tunes intentionally change train.* settings;
+            # task/model/solver drift is still worth surfacing (a differing
+            # task family silently evaluates a different distribution)
+            for d in ckpt.config_drift(cfg.train.load_model_from_expt, cfg):
+                log(f"note: differs from loaded run's config: {d}")
 
     if maml_warmup and inner_lrs is not None:
         key, wk = jax.random.split(key)

@@ -56,7 +56,7 @@ fi
 bash pipeline/supervise.sh results_burgers_leap ldb3 40 900 -- \
   python -m metapde_tpu.cli.leap_pde --task.pde=td_burgers \
     --task.domain.xmin=0.0 --task.max_reynolds=100 \
-    --task.vary_source=false --task.vary_bc=false \
+    --task.vary_source=false --task.vary_bc=false --task.bc_weight=1.0 \
     --solver.ground_truth_resolution=512 --task.num_tsteps=201 \
     --model.num_layers=10 --model.layer_size=128 --model.omega=30 --model.omega0=30 \
     --leap.inner_steps=80 --leap.inner_lr=1e-6 --leap.outer_lr=5e-5 --leap.bsize=8 \
@@ -69,7 +69,7 @@ bash pipeline/supervise.sh results_burgers_leap ldb3 40 900 -- \
 BURGERS_BENCH_ARGS=(
   --task.pde=td_burgers
   --task.domain.xmin=0.0 --task.max_reynolds=100
-  --task.vary_source=false --task.vary_bc=false
+  --task.vary_source=false --task.vary_bc=false --task.bc_weight=1.0
   --solver.ground_truth_resolution=512 --task.num_tsteps=201
   --model.num_layers=10 --model.layer_size=128 --model.omega=30 --model.omega0=30
   --leap.inner_steps=80 --leap.inner_lr=1e-6 --leap.outer_lr=5e-5 --leap.bsize=8

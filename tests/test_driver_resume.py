@@ -67,3 +67,36 @@ def test_driver_elastic_resume(tmp_path, algo):
         text = f.read()
     assert "loaded checkpoint" in text
     assert "resuming optimizer state" in text
+    # identical task/model/solver config: no drift warnings
+    assert "config drift" not in text
+
+
+def test_config_drift_detection(tmp_path):
+    """A resume command that silently changes the objective must warn.
+
+    Regression test for a real incident: a supervised relaunch omitted
+    --task.bc_weight, flipping the loss weighting from 1 to the 100
+    default mid-run (meta_loss jumped 500x before it was caught).
+    """
+    from metapde_tpu.train import checkpoints as ckpt
+    from metapde_tpu.train import maml_driver
+
+    cfg_a = _tiny_cfg(tmp_path, "drift_a", "maml", outer_steps=3)
+    maml_driver.run(cfg_a)
+    run_a = str(tmp_path / "drift_a")
+
+    cfg_b = _tiny_cfg(tmp_path, "drift_b", "maml", outer_steps=6,
+                      load_from=run_a)
+    cfg_b = dataclasses.replace(
+        cfg_b, task=dataclasses.replace(cfg_b.task, bc_weight=1.0)
+    )
+    drifts = ckpt.config_drift(run_a, cfg_b)
+    assert any("task.bc_weight" in d for d in drifts), drifts
+
+    maml_driver.run(cfg_b)
+    with open(os.path.join(str(tmp_path / "drift_b"), "log.txt")) as f:
+        text = f.read()
+    assert "config drift" in text and "task.bc_weight" in text
+
+    # train.* changes (outer_steps etc.) are intentional and not flagged
+    assert not any(d.startswith("train.") for d in drifts)
