@@ -31,6 +31,25 @@ from .registry import PdeDef
 TOP_DISPLACEMENT = -0.12  # hyper_elasticity_common.py:61
 
 
+def ligament_resolution_floor(per_hole_params, L0, width, res, cap=192):
+    """Effective oracle resolution that resolves the thinnest inter-pore wall.
+
+    Near the sampler's feasibility limit (t_bar = 0.05,
+    hyper_elasticity_common.py:177-183) the material ligaments between pores
+    are ~0.05*L0 ~ 0.0125 wide; a structured lattice coarser than half that
+    pinches them off during boundary snapping (the sheet disconnects and the
+    oracle returns garbage — observed zero-energy solves at res 12). The
+    reference never sees this because mshr/CGAL refines locally to conform.
+    Floor: cell size h <= wall/2, capped at `cap`."""
+    php = np.asarray(jax.device_get(per_hole_params))
+    r_max = float(np.max(
+        php[:, 4] * (1.0 + np.abs(php[:, 0]) + np.abs(php[:, 1]))
+    ))
+    wall = max(L0 - 2.0 * r_max, 0.025 * L0)
+    need = int(np.ceil(2.0 * width / wall))
+    return int(min(max(res, need), cap))
+
+
 def deformation_gradient(x, field_fn):
     jac = jax.jacfwd(lambda y: jnp.reshape(field_fn(y), (-1,)))(x)
     return jnp.identity(2) + jac
@@ -264,9 +283,16 @@ def make_pde(cfg: TaskConfig) -> PdeDef:
             },
         )
 
+    def _ligament_floor(params, res):
+        if max_holes <= 0:
+            return res
+        return ligament_resolution_floor(
+            params[2], L0, dom.xmax - dom.xmin, res
+        )
+
     def solve(params, resolution=None, boundary_points=None):
-        res = resolution if resolution is not None else 32
-        return fem_elasticity.solve(
+        res = _ligament_floor(params, resolution if resolution else 32)
+        return fem_elasticity.solve_direct(
             params,
             resolution=res,
             xmin=dom.xmin, xmax=dom.xmax, ymin=dom.ymin, ymax=dom.ymax,
@@ -274,12 +300,13 @@ def make_pde(cfg: TaskConfig) -> PdeDef:
         )
 
     def solve_ref(params, resolution=None, boundary_points=None):
-        res = resolution if resolution is not None else 48
-        return fem_elasticity.solve_x64(
+        res = _ligament_floor(params, resolution if resolution else 48)
+        return fem_elasticity.solve_direct(
             params,
             resolution=res,
             xmin=dom.xmin, xmax=dom.xmax, ymin=dom.ymin, ymax=dom.ymax,
             top_displacement=TOP_DISPLACEMENT,
+            out_dtype=jnp.float64,
         )
 
     def sample_validation_points(key, n, params, gt=None):
@@ -297,6 +324,8 @@ def make_pde(cfg: TaskConfig) -> PdeDef:
         solve=solve,
         evaluate_gt=fem_elasticity.evaluate,
         sample_validation_points=sample_validation_points,
-        gt_version=2,  # v2: boundary-snapped conforming mesh (mesh2d.py)
+        # v3: sparse-direct Newton oracle + ligament-aware resolution floor
+        # (fem_elasticity.solve_direct); v2 was the boundary-snapped mesh
+        gt_version=3,
         solve_ref=solve_ref,
     )

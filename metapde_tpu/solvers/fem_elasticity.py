@@ -65,6 +65,10 @@ class ElasticityGroundTruth(NamedTuple):
     elem_alive: jnp.ndarray   # [2*res^2] element liveness (float 0/1)
     bounds: jnp.ndarray       # [4] xmin, xmax, ymin, ymax
     final_energy: jnp.ndarray
+    # oracle health: norm of the energy gradient at the returned solution
+    # (~1e-9 when Newton fully converged; large values flag tasks where the
+    # post-buckling continuation had to accept a best-effort state)
+    final_gnorm: jnp.ndarray = jnp.zeros(())
 
 
 def _build_problem(params, resolution, xmin, xmax, ymin, ymax):
@@ -180,6 +184,9 @@ def _pack(prob, z, resolution, xmin, xmax, ymin, ymax, top_displacement):
         bounds=jnp.asarray([xmin, xmax, ymin, ymax],
                            prob["coords0"].dtype),
         final_energy=prob["energy"](z, top_displacement),
+        final_gnorm=jnp.linalg.norm(
+            jax.grad(prob["energy"])(z, top_displacement)
+        ),
     )
 
 
@@ -302,3 +309,248 @@ def evaluate(gt: ElasticityGroundTruth, x):
     """Displacement at physical point x [2]: P1 interpolation on the
     snapped conforming mesh."""
     return evaluate_p1(gt.u_grid, gt.coords_grid, gt.elem_alive, gt.bounds, x)
+
+
+# ---------------------------------------------------------------------------
+# Sparse-direct host solver (the reference's PETSc/MUMPS role)
+# ---------------------------------------------------------------------------
+#
+# The matrix-free CG cascade above is TPU-resident but stalls on hard pore
+# geometries: near the porosity feasibility limit (sampler t_bar = 0.05,
+# hyper_elasticity_common.py:177-183) the inter-pore ligaments are ~0.014
+# wide, the bending stiffness ratio conditions the Hessian like (L/t)^3, and
+# Krylov iterations stop making progress — observed stuck states with final
+# energies 10-100x above the converged branch. The reference never sees this
+# because FEniCS hands the Newton systems to MUMPS, a DIRECT solver
+# (td_burgers_fenics.py:87 / hyper_elasticity_fenics.py:143 "petsc").
+# `solve_direct` restores that robustness: per-element 6x6 energy Hessian
+# blocks from jax.hessian (vmapped), scipy sparse assembly + splu
+# factorization, Levenberg-Marquardt diagonal damping when the factorized
+# direction fails to descend (post-buckling indefiniteness), line search on
+# the true energy, load-stepped from the affine warm start, f64 throughout.
+# It runs on the host — which is where the ground-truth path already lives
+# operationally (gt solves are CPU-pre-warmed into the content-addressed
+# cache and only *evaluated* on the TPU; see train/gt_cache.py).
+
+
+def _elem_fns(dtype):
+    """Jitted per-element energy value / gradient / Hessian (6 local dofs)."""
+
+    def psi_e(ue_flat, gphi, mods):
+        shear_mod, bulk_mod = mods[0], mods[1]
+        ue = ue_flat.reshape(3, 2)
+        grad_u = jnp.einsum("kd,kg->dg", ue, gphi)
+        F = jnp.eye(2, dtype=dtype) + grad_u
+        J = F[0, 0] * F[1, 1] - F[0, 1] * F[1, 0]
+        Ic = jnp.sum(F * F)
+        return (
+            (shear_mod / 2.0) * (Ic / jnp.maximum(J, _JMIN) - 2.0)
+            + (bulk_mod / 2.0) * (J - 1.0) ** 2
+            + (1e4 * shear_mod) * jnp.maximum(_JMIN - J, 0.0) ** 2
+        )
+
+    val = jax.jit(jax.vmap(psi_e, in_axes=(0, 0, None)))
+    grad = jax.jit(jax.vmap(jax.grad(psi_e), in_axes=(0, 0, None)))
+    hess = jax.jit(jax.vmap(jax.hessian(psi_e), in_axes=(0, 0, None)))
+    return val, grad, hess
+
+
+def solve_direct(
+    params,
+    resolution: int = 32,
+    xmin: float = 0.0,
+    xmax: float = 1.0,
+    ymin: float = 0.0,
+    ymax: float = 1.0,
+    load_steps: int = 8,
+    newton_steps: int = 40,
+    top_displacement: float = -0.12,
+    grad_tol: float = 1e-8,
+    out_dtype=jnp.float32,
+    verbose: bool = False,
+):
+    """Damped-Newton solve with sparse-direct linear algebra (host, f64).
+
+    Eager only — do not call inside jit. Returns the same
+    ElasticityGroundTruth pytree as `solve` (cast to `out_dtype`), so the
+    jitted evaluation path is unchanged.
+
+    Precision/device: runs f64 pinned to the host CPU device when one is
+    visible (always true operationally — gt solves are CPU-pre-warmed into
+    the cache). Under a TPU-only platform list (JAX_PLATFORMS=axon) it
+    degrades to f32 element assembly with f64 sparse factorization, which
+    still beats the Krylov cascade on hard geometries."""
+    import contextlib
+
+    import scipy.sparse as sp
+    import scipy.sparse.linalg as spla
+
+    try:
+        cpu_dev = jax.devices("cpu")[0]
+    except RuntimeError:
+        cpu_dev = None
+    dev_ctx = (jax.default_device(cpu_dev) if cpu_dev is not None
+               else contextlib.nullcontext())
+    x64_ctx = (jax.enable_x64(True) if cpu_dev is not None
+               else contextlib.nullcontext())
+    if cpu_dev is None:
+        grad_tol = max(grad_tol, 1e-5)
+
+    with dev_ctx, x64_ctx:
+        f64 = jnp.float64 if cpu_dev is not None else jnp.float32
+        params = jax.tree_util.tree_map(
+            lambda a: (jnp.asarray(a, f64)
+                       if jnp.issubdtype(jnp.result_type(a), jnp.floating)
+                       else jnp.asarray(a)),
+            params,
+        )
+        prob = _build_problem(params, resolution, xmin, xmax, ymin, ymax)
+        geom = prob["geom"]
+        n_nodes = prob["n_nodes"]
+        tris = np.asarray(mesh_topology(resolution))
+        _, bc_params, _, _ = params
+        young = float(bc_params[0])
+        mods = jnp.asarray(
+            [young / (2.0 * 1.49), young / (3.0 * (1.0 - 2.0 * 0.49))], f64
+        )
+
+        area = np.asarray(geom.area, np.float64)
+        gradphi = jnp.asarray(geom.gradphi, f64)
+        w_e = np.asarray(geom.elem_alive, np.float64) * area      # [E]
+        coords = np.asarray(geom.coords, np.float64)
+        constrained = np.asarray(prob["constrained"])             # [N] bool
+        node_alive = np.asarray(geom.node_alive, np.float64)
+
+        # dof bookkeeping (static topology -> static sparsity pattern)
+        edofs = np.stack(
+            [2 * tris[:, k // 2] + k % 2 for k in range(6)], axis=1
+        )                                                          # [E,6]
+        rows = np.repeat(edofs, 6, axis=1).reshape(-1)
+        cols = np.tile(edofs, (1, 6)).reshape(-1)
+        ndof = 2 * n_nodes
+        free = ~np.repeat(constrained, 2)                          # [ndof]
+        # tether diagonal: dead free nodes -> 1 (relax to zero displacement),
+        # constrained rows -> 1 (z entries pinned to zero); mirrors energy()
+        dead_w = np.repeat((1.0 - node_alive), 2) * free
+        diag_tether = dead_w + (~free).astype(np.float64)
+
+        val_f, grad_f, hess_f = _elem_fns(f64)
+        energy_j = jax.jit(prob["energy"])
+
+        bc_val = np.zeros((n_nodes, 2))
+        bc_val[np.asarray(prob["on_top"]), 1] = top_displacement
+
+        def u_of_np(z, scale):
+            u = z.reshape(n_nodes, 2).copy()
+            u[constrained] = bc_val[constrained] * scale
+            return u
+
+        def grad_np(z, scale):
+            ue = u_of_np(z, scale)[tris].reshape(-1, 6)
+            ge = np.asarray(grad_f(jnp.asarray(ue), gradphi, mods))
+            g = np.zeros(ndof)
+            np.add.at(g, edofs.reshape(-1), (w_e[:, None] * ge).reshape(-1))
+            return g * free + diag_tether * z
+
+        def hess_np(z, scale):
+            ue = u_of_np(z, scale)[tris].reshape(-1, 6)
+            He = np.asarray(hess_f(jnp.asarray(ue), gradphi, mods))
+            data = (w_e[:, None, None] * He).reshape(-1)
+            # project onto free dofs (constrained rows/cols replaced by the
+            # tether identity below)
+            data = data * free[rows] * free[cols]
+            H = sp.coo_matrix((data, (rows, cols)), shape=(ndof, ndof))
+            return (H + sp.diags(diag_tether)).tocsc()
+
+        def energy_np(z, top_disp):
+            return float(energy_j(jnp.asarray(z), f64(top_disp)))
+
+        frac = (coords[:, 1] - ymin) / (ymax - ymin)
+        affine = np.stack([np.zeros(n_nodes), frac], axis=1).reshape(-1) * free
+        alphas = (1.0, 0.5, 0.25, 0.1, 0.03, 0.01)
+
+        def newton(z, scale, max_iters):
+            """Damped Newton at load fraction `scale`; returns (z, |g|)."""
+            top_s = top_displacement * scale
+            lam = 0.0
+            gnorm = float(np.linalg.norm(grad_np(z, scale)))
+            for _ in range(max_iters):
+                g = grad_np(z, scale)
+                gnorm = float(np.linalg.norm(g))
+                if gnorm < grad_tol:
+                    break
+                H = hess_np(z, scale)
+                e0 = energy_np(z, top_s)
+                improved = False
+                for _try in range(6):
+                    Hd = H if lam == 0.0 else (H + lam * sp.diags(
+                        np.maximum(H.diagonal(), 1e-12))).tocsc()
+                    try:
+                        dz = spla.splu(Hd).solve(-g)
+                    except RuntimeError:
+                        lam = max(1e-8, lam * 10.0) if lam else 1e-6
+                        continue
+                    if not np.all(np.isfinite(dz)):
+                        lam = max(1e-8, lam * 10.0) if lam else 1e-6
+                        continue
+                    for a in alphas:
+                        e1 = energy_np(z + a * dz, top_s)
+                        if np.isfinite(e1) and e1 < e0:
+                            z = z + a * dz
+                            improved = True
+                            break
+                    if improved:
+                        # relax damping once a step succeeds
+                        lam = 0.0 if lam < 1e-8 else lam * 0.1
+                        break
+                    # factorized direction failed to descend: damp harder
+                    # (indefinite Hessian near buckling bifurcations)
+                    lam = max(1e-6, lam * 10.0) if lam else 1e-6
+                if not improved:
+                    break  # line-search-converged at this damping ladder
+            return z, float(np.linalg.norm(grad_np(z, scale)))
+
+        # Adaptive load continuation (the role of the reference's
+        # relaxation back-off retry, hyper_elasticity_fenics.py:172-183):
+        # advance the top displacement by ds, and when Newton fails to
+        # converge — the post-buckling regime of near-limit pore lattices —
+        # halve ds and retry from the last accepted state.
+        accept_tol = max(grad_tol, 1e-5)
+        ds0 = 1.0 / load_steps
+        ds_min = ds0 / 8.0
+        z, s, ds = np.zeros(ndof), 0.0, ds0
+        while s < 1.0 - 1e-12:
+            ds_eff = min(ds, 1.0 - s)
+            s_try = s + ds_eff
+            z_try = z + (ds_eff * top_displacement) * affine
+            z_try, gnorm = newton(z_try, s_try, newton_steps)
+            if gnorm <= accept_tol or ds_eff <= ds_min * (1 + 1e-9):
+                z, s = z_try, s_try
+                if gnorm <= accept_tol:
+                    ds = min(ds * 1.5, ds0)
+                if verbose:
+                    print(f"  load s={s:.4f} (ds {ds_eff:.4f}): |g| "
+                          f"{gnorm:.3e}, E {energy_np(z, top_displacement * s):.6f}",
+                          flush=True)
+            else:
+                ds = max(ds_eff / 2.0, ds_min)
+                if verbose:
+                    print(f"  load s={s_try:.4f} rejected (|g| {gnorm:.3e})"
+                          f" -> ds {ds:.4f}", flush=True)
+        # final polish at full load
+        z, gnorm = newton(z, 1.0, newton_steps)
+        if verbose:
+            print(f"  polish: |g| {gnorm:.3e}, "
+                  f"E {energy_np(z, top_displacement):.6f}", flush=True)
+
+        gt = _pack(prob, jnp.asarray(z), resolution, xmin, xmax, ymin, ymax,
+                   top_displacement)
+
+        def _cast(a):
+            a = jnp.asarray(a)
+            return a.astype(out_dtype) if jnp.issubdtype(
+                a.dtype, jnp.floating) else a
+
+        # cast inside the x64 context: astype(float64) outside it would be
+        # silently truncated back to f32
+        return jax.tree_util.tree_map(_cast, gt)

@@ -40,12 +40,18 @@ def test_elasticity_x64_matches_f32_solve():
                      vary_source=False, vary_bc=False)
     pde = get_pde(cfg)
     params = pde.sample_params(jax.random.PRNGKey(1))
+    # pde.solve / pde.solve_ref share the ligament-aware resolution floor,
+    # so both produce the same grid; solve_ref keeps f64 leaves
     gt32 = pde.solve(params, resolution=12)
-    gt64 = fem_elasticity.solve_x64(params, resolution=12)
+    gt64 = pde.solve_ref(params, resolution=12)
     assert gt64.u_grid.dtype == jnp.float64
+    assert gt32.u_grid.shape == gt64.u_grid.shape
     # nonlinear energy minimization: both paths must land on the same
-    # buckling branch and agree to f32-Newton accuracy
+    # buckling branch and agree to f32-assembly accuracy
     assert _rel(gt32.u_grid, gt64.u_grid) < 2e-2
+    # the raw f64 cascade still works standalone (back-compat path)
+    gt_casc = fem_elasticity.solve_x64(params, resolution=12)
+    assert gt_casc.u_grid.dtype == jnp.float64
 
 
 def test_fv_burgers_x64_matches_f32_solve():
