@@ -71,6 +71,15 @@ def run(cfg: Config, resolutions, ref_resolution: int, n_tasks: int = 4,
                     "rel_mse": float(jnp.sum((v - rv) ** 2))
                     / max(float(jnp.sum(rv ** 2)), 1e-30),
                 }
+                if pde.effective_resolution is not None:
+                    # honest grids: e.g. the hyperelasticity ligament floor
+                    # can raise both this solve and the reference to the
+                    # same lattice, turning "discretization error" into
+                    # f32-vs-f64 noise — make that visible
+                    row_t["effective_resolution"] = int(
+                        pde.effective_resolution(params, res))
+                    row_t["ref_effective_resolution"] = int(
+                        pde.effective_resolution(params, ref_resolution))
                 for name, g in (("gt", gt), ("ref", refs[i])):
                     e = getattr(g, "final_energy", None)
                     if e is not None:

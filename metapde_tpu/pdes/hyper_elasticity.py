@@ -328,4 +328,5 @@ def make_pde(cfg: TaskConfig) -> PdeDef:
         # (fem_elasticity.solve_direct); v2 was the boundary-snapped mesh
         gt_version=3,
         solve_ref=solve_ref,
+        effective_resolution=_ligament_floor,
     )

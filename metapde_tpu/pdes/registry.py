@@ -31,6 +31,9 @@ class PdeDef(NamedTuple):
     gt_version: int = 1  # bump when the ground-truth scheme changes (cache key)
     solve_ref: Callable = None  # optional high-accuracy reference solve
     #   (e.g. f64 path) used by accuracy sweeps; falls back to `solve`
+    effective_resolution: Callable = None  # optional (params, res) -> int:
+    #   the resolution `solve` will actually use (e.g. hyper_elasticity's
+    #   ligament-aware floor), so sweeps can report honest per-task grids
 
 
 def get_pde(cfg: TaskConfig) -> PdeDef:

@@ -63,6 +63,19 @@ def test_direct_no_pores_affine_compression():
     assert float(gt.final_energy) < 0.05
 
 
+def test_effective_resolution_hook():
+    """PdeDef.effective_resolution exposes the ligament floor so sweeps
+    (cli/gt_convergence) can report the grid actually solved on."""
+    pde = _task(max_hole_size=0.3)
+    params = pde.sample_params(jax.random.PRNGKey(3))
+    eff = pde.effective_resolution(params, 16)
+    assert isinstance(eff, int) and eff >= 16
+    # no pores -> identity
+    pde0 = _task(max_hole_size=0.5, max_holes=0)
+    params0 = pde0.sample_params(jax.random.PRNGKey(0))
+    assert pde0.effective_resolution(params0, 16) == 16
+
+
 def test_ligament_floor():
     # mild pores: requested resolution stands
     php = np.zeros((4, 5), np.float32)
