@@ -18,18 +18,103 @@ Baseline: the reference's logged outer-step time on its T4 GPU is 3.21 s
 """
 
 import json
+import os
+import signal
+import sys
 import time
 
-import jax
 import numpy as np
-
-from metapde_tpu.config import Config, FieldConfig, MamlConfig, TaskConfig
-from metapde_tpu.train import maml_driver
 
 REF_STEP_TIME_S = 3.21  # reference T4 GPU seconds per outer step
 
 
+def _ensure_exclusive_tpu(wait_s: float = 120.0):
+    """Stop any running TPU training pipeline before benchmarking.
+
+    Two processes through the axon TPU relay wedge BOTH (the first
+    flatlines silently), so a bench started while a supervised training
+    queue holds the chip would hang and take the training down with it.
+    This preempts, by exact PID: (1) TPU queue scripts (so a dying
+    supervisor doesn't trigger the queue's next TPU stage mid-bench),
+    (2) pipeline/supervise.sh supervisors (so they don't relaunch their
+    child), (3) TPU-bound metapde_tpu.cli.* trainers. CPU-pinned jobs
+    (JAX_PLATFORMS=cpu in their environment) are left alone. Training
+    loses at most the steps since its last checkpoint; supervised runs
+    resume from there when re-queued.
+
+    Set BENCH_NO_PREEMPT=1 to skip (e.g. benching on a machine where you
+    know the chip is free and want the queues untouched).
+    """
+    if os.environ.get("BENCH_NO_PREEMPT"):
+        return
+    me = os.getpid()
+
+    def scan():
+        queues, supers, trainers = [], [], []
+        for pid in os.listdir("/proc"):
+            if not pid.isdigit() or int(pid) == me:
+                continue
+            try:
+                with open(f"/proc/{pid}/cmdline", "rb") as f:
+                    argv = f.read().decode(errors="ignore").split("\0")
+                with open(f"/proc/{pid}/environ", "rb") as f:
+                    env = f.read().decode(errors="ignore")
+            except OSError:
+                continue
+            if not argv or not argv[0]:
+                continue
+            exe = os.path.basename(argv[0])
+            # match only [bash, <script>.sh, ...] / [python, -m, mod, ...]:
+            # a `bash -c` wrapper, grep, or editor whose ARGUMENT text
+            # mentions these names must never match (self-kill footgun)
+            if exe in ("bash", "sh", "dash"):
+                script = os.path.basename(argv[1]) if len(argv) > 1 else ""
+                if script.startswith("queue_round") and script.endswith(".sh"):
+                    queues.append(int(pid))
+                elif script == "supervise.sh":
+                    supers.append(int(pid))
+            elif exe.startswith("python"):
+                if ("-m" in argv[:3]
+                        and any(a.startswith("metapde_tpu.cli.")
+                                for a in argv[1:4])
+                        and "JAX_PLATFORMS=cpu" not in env):
+                    trainers.append(int(pid))
+        return queues, supers, trainers
+
+    def alive():
+        q, s, t = scan()
+        return q + s + t
+
+    victims = alive()
+    if not victims:
+        return
+    for group in scan():  # ordered: queues, then supervisors, then trainers
+        for pid in group:
+            print(f"bench: preempting TPU pipeline pid {pid}",
+                  file=sys.stderr, flush=True)
+            try:
+                os.kill(pid, signal.SIGTERM)
+            except OSError:
+                pass
+        time.sleep(2.0)
+    deadline = time.time() + wait_s
+    while time.time() < deadline and alive():
+        time.sleep(2.0)
+    for pid in alive():
+        try:
+            os.kill(pid, signal.SIGKILL)
+        except OSError:
+            pass
+    time.sleep(5.0)  # let the relay drop the dead client cleanly
+
+
 def main():
+    _ensure_exclusive_tpu()
+    import jax
+
+    from metapde_tpu.config import Config, FieldConfig, MamlConfig, TaskConfig
+    from metapde_tpu.train import maml_driver
+
     cfg = Config(
         task=TaskConfig(
             pde="poisson", inner_points=1024, outer_points=1024,
