@@ -28,6 +28,33 @@ import numpy as np
 REF_STEP_TIME_S = 3.21  # reference T4 GPU seconds per outer step
 
 
+def _classify_tpu_pipeline_proc(argv, env):
+    """Classify a process as 'queue' | 'supervisor' | 'trainer' | None.
+
+    Matching is structural (argv[0] interpreter + argv[1]/module slots),
+    never on joined command-line text: a `bash -c` wrapper, grep, or
+    editor whose ARGUMENT text mentions these names must never match
+    (self-kill footgun). CPU-pinned trainers (JAX_PLATFORMS=cpu in env)
+    are not TPU pipeline members. Pure function; unit-tested in
+    tests/test_utils.py."""
+    if not argv or not argv[0]:
+        return None
+    exe = os.path.basename(argv[0])
+    if exe in ("bash", "sh", "dash"):
+        script = os.path.basename(argv[1]) if len(argv) > 1 else ""
+        if script.startswith("queue_round") and script.endswith(".sh"):
+            return "queue"
+        if script == "supervise.sh":
+            return "supervisor"
+        return None
+    if exe.startswith("python"):
+        if ("-m" in argv[:3]
+                and any(a.startswith("metapde_tpu.cli.") for a in argv[1:4])
+                and "JAX_PLATFORMS=cpu" not in env):
+            return "trainer"
+    return None
+
+
 def _ensure_exclusive_tpu(wait_s: float = 120.0):
     """Stop any running TPU training pipeline before benchmarking.
 
@@ -61,24 +88,13 @@ def _ensure_exclusive_tpu(wait_s: float = 120.0):
                     env = f.read().decode(errors="ignore")
             except OSError:
                 continue
-            if not argv or not argv[0]:
-                continue
-            exe = os.path.basename(argv[0])
-            # match only [bash, <script>.sh, ...] / [python, -m, mod, ...]:
-            # a `bash -c` wrapper, grep, or editor whose ARGUMENT text
-            # mentions these names must never match (self-kill footgun)
-            if exe in ("bash", "sh", "dash"):
-                script = os.path.basename(argv[1]) if len(argv) > 1 else ""
-                if script.startswith("queue_round") and script.endswith(".sh"):
-                    queues.append(int(pid))
-                elif script == "supervise.sh":
-                    supers.append(int(pid))
-            elif exe.startswith("python"):
-                if ("-m" in argv[:3]
-                        and any(a.startswith("metapde_tpu.cli.")
-                                for a in argv[1:4])
-                        and "JAX_PLATFORMS=cpu" not in env):
-                    trainers.append(int(pid))
+            kind = _classify_tpu_pipeline_proc(argv, env)
+            if kind == "queue":
+                queues.append(int(pid))
+            elif kind == "supervisor":
+                supers.append(int(pid))
+            elif kind == "trainer":
+                trainers.append(int(pid))
         return queues, supers, trainers
 
     def alive():

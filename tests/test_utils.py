@@ -282,3 +282,40 @@ def test_lookahead_ranger_semantics():
     p2 = p2 + up                      # sync: fast' = 0.0; slow: 1 + .5*(0-1)=0.5
     assert abs(float(p2) - 0.5) < 1e-6
     assert abs(float(s2.slow) - 0.5) < 1e-6
+
+
+def test_bench_preempt_classifier():
+    """bench._classify_tpu_pipeline_proc must match only genuine TPU
+    pipeline members, never wrapper shells / greps / CPU jobs whose
+    argument text mentions the same names (self-kill footgun)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_mod", os.path.join(os.path.dirname(__file__), "..", "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    cls = bench._classify_tpu_pipeline_proc
+
+    assert cls(["bash", "pipeline/queue_round7.sh", "6827"], "") == "queue"
+    assert cls(["/bin/bash", "pipeline/supervise.sh", "out", "e", "60",
+                "900", "--", "python"], "") == "supervisor"
+    assert cls(["python", "-m", "metapde_tpu.cli.maml_pde",
+                "--task.pde=poisson"], "PYTHONPATH=/root/.axon_site") \
+        == "trainer"
+    assert cls(["/opt/venv/bin/python3", "-m", "metapde_tpu.cli.deploy_bench"],
+               "") == "trainer"
+    # CPU-pinned trainer: not a TPU pipeline member
+    assert cls(["python", "-m", "metapde_tpu.cli.nn_pde"],
+               "JAX_PLATFORMS=cpu\x00PYTHONPATH=") is None
+    # cpu queue scripts don't hold the TPU
+    assert cls(["bash", "pipeline/cpu_queue_round4.sh", "1"], "") is None
+    # bash -c wrapper whose BLOB mentions the script: must not match
+    assert cls(["/bin/bash", "-c",
+                "nohup bash pipeline/queue_round7.sh 6827 &"], "") is None
+    # grep with the name as an argument: must not match
+    assert cls(["grep", "pipeline/queue_round", "/tmp/x"], "") is None
+    # python running something else entirely
+    assert cls(["python", "bench.py"], "") is None
+    assert cls([], "") is None
+    assert cls([""], "") is None
