@@ -57,7 +57,7 @@ def run(cfg: Config, algo: str, inner_steps_list, out: str, n_tasks: int = 3):
         pde, gt_params, pts_key, cfg.task.validation_points,
         cfg.solver.ground_truth_resolution,
     )
-    gts_list = tree_unstack(bundle.gts)
+    gts_list = list(bundle.gts)
     params_list = tree_unstack(bundle.gt_params)
 
     out_dir = os.path.dirname(out) or "."

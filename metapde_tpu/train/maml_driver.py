@@ -234,7 +234,7 @@ def _render_viz(path, cfg, pde, c, model_and_lrs, bundle, step):
     from . import viz
 
     try:
-        gts_list = tree_unstack(bundle.gts)
+        gts_list = list(bundle.gts)
         params_list = tree_unstack(bundle.gt_params)
         field = c["field"]
         if cfg.task.pde == "td_burgers":

@@ -42,8 +42,14 @@ from .validation import get_ground_truth, make_validation_fn
 
 def build(cfg: Config):
     # force single-task mode (reference nn_pde.py:51-52) — via config copy,
-    # never by mutating shared state
-    task_cfg = dataclasses.replace(cfg.task, n_eval=1, fixed_num_pdes=1)
+    # never by mutating shared state. The run seed is folded into the task
+    # seed so a seed sweep fine-tunes DIFFERENT tasks: pde.sample_params
+    # pins the task to PRNGKey(task.seed) under fixed_num_pdes, and the
+    # reference's deployment protocol draws the task from the run seed
+    # (nn_pde.py:51-52). Without the fold, every sweep seed would measure
+    # the same PRNGKey(task.seed) task 8 times.
+    task_cfg = dataclasses.replace(cfg.task, n_eval=1, fixed_num_pdes=1,
+                                   seed=cfg.task.seed + cfg.seed)
     cfg = dataclasses.replace(cfg, task=task_cfg)
 
     pde = get_pde(cfg.task)

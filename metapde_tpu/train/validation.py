@@ -23,11 +23,16 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..utils.trees import tree_stack, tree_unstack
+from ..utils.trees import tree_unstack
 
 
 class GroundTruthBundle(NamedTuple):
-    gts: object           # stacked ground-truth pytree, leading axis = n_eval
+    # list of per-task ground-truth pytrees. A list, NOT a stacked pytree:
+    # per-task effective resolutions may differ (hyper_elasticity's ligament
+    # floor solves hard pore geometries on finer grids), so the leaves are
+    # not stackable in general. Consumers iterate; the stacked arrays below
+    # are what the jitted validation path uses.
+    gts: list
     gt_vals: jnp.ndarray  # [n_eval, V, out_dim]
     coords: jnp.ndarray   # [n_eval, V, in_dim]
     gt_params: object     # stacked task params
@@ -74,7 +79,7 @@ def get_ground_truth(pde, gt_params_stacked, key, n_points, resolution,
         vals.append(v)
 
     return GroundTruthBundle(
-        gts=tree_stack(gts),
+        gts=gts,
         gt_vals=jnp.stack(vals),
         coords=jnp.stack(coords),
         gt_params=gt_params_stacked,

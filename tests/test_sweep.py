@@ -70,3 +70,34 @@ def test_finetune_median_curve(tmp_path):
     assert [e for _, e in pts] == [0.7, 0.4, 0.2, 0.2]
     # errors never increase along the curve
     assert all(pts[i][1] >= pts[i + 1][1] for i in range(len(pts) - 1))
+
+
+def test_nn_driver_seed_varies_task():
+    """Deployment sweeps must fine-tune a DIFFERENT task per run seed
+    (regression: fixed_num_pdes pinned every sweep seed to the same
+    PRNGKey(task.seed) task, so 8-seed sweeps measured one task 8 times)."""
+    import jax
+    import numpy as np
+
+    from metapde_tpu.config import Config, parse_overrides
+    from metapde_tpu.train.nn_driver import build
+
+    def task_params(seed):
+        cfg = parse_overrides(
+            Config(), ["--task.pde=poisson", f"--seed={seed}"]
+        )
+        c = build(cfg)
+        return c["pde"].sample_params(jax.random.PRNGKey(123))
+
+    p1 = task_params(1)
+    p2 = task_params(2)
+    leaves1 = jax.tree_util.tree_leaves(p1)
+    leaves2 = jax.tree_util.tree_leaves(p2)
+    assert any(
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(leaves1, leaves2)
+    )
+    # same seed -> same task, regardless of the sampling key
+    p1b = task_params(1)
+    for a, b in zip(leaves1, jax.tree_util.tree_leaves(p1b)):
+        assert np.allclose(np.asarray(a), np.asarray(b))

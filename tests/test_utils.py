@@ -319,3 +319,33 @@ def test_bench_preempt_classifier():
     assert cls(["python", "bench.py"], "") is None
     assert cls([], "") is None
     assert cls([""], "") is None
+
+
+def test_ground_truth_bundle_mixed_resolutions(tmp_path):
+    """Eval tasks may solve on different grids (hyper_elasticity's ligament
+    floor raises the resolution per task); the bundle must not try to stack
+    the raw gt pytrees (regression: v3 oracle crashed n_eval>1 validation
+    with 'All input arrays must have the same shape')."""
+    from types import SimpleNamespace
+
+    from metapde_tpu.train.validation import get_ground_truth
+
+    def solve(params, resolution=None):
+        # per-task grid size driven by the param value
+        n = int(params[0]) + 2
+        return {"u_grid": jnp.full((n, n), float(params[0]))}
+
+    pde = SimpleNamespace(
+        solve=solve,
+        sample_validation_points=lambda key, n, params, gt=None:
+            jax.random.uniform(key, (n, 2)),
+        evaluate_gt=lambda gt, x: gt["u_grid"][0, 0],
+    )
+    params_stacked = jnp.asarray([[1.0], [4.0], [9.0]])
+    bundle = get_ground_truth(
+        pde, params_stacked, jax.random.PRNGKey(0), n_points=5, resolution=8
+    )
+    assert isinstance(bundle.gts, list) and len(bundle.gts) == 3
+    assert bundle.gts[0]["u_grid"].shape != bundle.gts[2]["u_grid"].shape
+    assert bundle.gt_vals.shape == (3, 5, 1)
+    assert np.allclose(np.asarray(bundle.gt_vals[:, 0, 0]), [1.0, 4.0, 9.0])
