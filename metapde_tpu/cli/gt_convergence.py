@@ -27,10 +27,18 @@ from ..pdes import get_pde
 
 
 def run(cfg: Config, resolutions, ref_resolution: int, n_tasks: int = 4,
-        n_points: int = 1024, seed: int = 0, per_task: bool = False):
+        n_points: int = 1024, seed: int = 0, per_task: bool = False,
+        warm_chain: bool = False):
     pde = get_pde(cfg.task)
     keys = jax.random.split(jax.random.PRNGKey(seed), n_tasks)
     tasks = [pde.sample_params(k) for k in keys]
+
+    if warm_chain:
+        if pde.solve_warm is None:
+            raise SystemExit(
+                f"--warm_chain: {cfg.task.pde} has no solve_warm")
+        return _run_warm_chain(cfg, pde, tasks, resolutions, ref_resolution,
+                               n_points, per_task)
 
     # reference solves + shared validation points
     solve_ref = pde.solve_ref or pde.solve
@@ -103,16 +111,81 @@ def run(cfg: Config, resolutions, ref_resolution: int, n_tasks: int = 4,
     return rows
 
 
+def _run_warm_chain(cfg, pde, tasks, resolutions, ref_resolution,
+                    n_points, per_task):
+    """Task-major branch-tracked sweep: each task is solved coarse -> fine
+    -> reference, every solve warm-started from the previous one
+    (pde.solve_warm), so the whole resolution chain sits on ONE energy
+    branch. Separates genuine discretization error from branch drift on
+    PDEs with non-unique minimizers (near-limit pore lattices)."""
+    res_order = sorted(resolutions)
+    acc = {r: [0.0, 0.0, 0.0] for r in res_order}  # num, den, dt
+
+    for i, params in enumerate(tasks):
+        sols, prev = [], None
+        for res in res_order:
+            t0 = time.perf_counter()
+            gt = jax.block_until_ready(pde.solve_warm(params, res, prev))
+            dt = time.perf_counter() - t0
+            sols.append((res, gt, dt))
+            prev = gt
+        ref = jax.block_until_ready(
+            pde.solve_warm(params, ref_resolution, prev, ref=True))
+        p = pde.sample_validation_points(
+            jax.random.PRNGKey(1000 + i), n_points, params, ref)
+        rv = jax.vmap(lambda x: pde.evaluate_gt(ref, x))(p)
+        den_i = float(jnp.sum(rv ** 2))
+        for res, gt, dt in sols:
+            v = jax.vmap(lambda x: pde.evaluate_gt(gt, x))(p)
+            num_i = float(jnp.sum((v - rv) ** 2))
+            acc[res][0] += num_i
+            acc[res][1] += den_i
+            acc[res][2] += dt
+            if per_task:
+                row_t = {"resolution": res, "task": i,
+                         "rel_mse": num_i / max(den_i, 1e-30),
+                         "warm_chain": True}
+                if pde.effective_resolution is not None:
+                    row_t["effective_resolution"] = int(
+                        pde.effective_resolution(params, res))
+                    row_t["ref_effective_resolution"] = int(
+                        pde.effective_resolution(params, ref_resolution))
+                for name, g in (("gt", gt), ("ref", ref)):
+                    e = getattr(g, "final_energy", None)
+                    if e is not None:
+                        row_t[f"{name}_energy"] = float(e)
+                print(json.dumps(row_t), flush=True)
+
+    rows = []
+    for res in res_order:
+        num, den, dt = acc[res]
+        row = {"resolution": res, "rel_mse": num / max(den, 1e-30),
+               "time_per_solve_s": dt / len(tasks), "warm_chain": True}
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+    print(json.dumps({
+        "pde": cfg.task.pde, "ref_resolution": ref_resolution,
+        "n_tasks": len(tasks), "n_points": n_points, "warm_chain": True,
+        "rel_mse_by_resolution": {
+            str(r["resolution"]): r["rel_mse"] for r in rows
+        },
+    }), flush=True)
+    return rows
+
+
 def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
     resolutions = [12, 24, 48]
     ref_resolution = 96
     n_tasks, n_points, seed = 4, 1024, 0
     per_task = False
+    warm_chain = False
     passthrough = []
     for a in argv:
         if a == "--per_task":
             per_task = True
+        elif a == "--warm_chain":
+            warm_chain = True
         elif a.startswith("--resolutions="):
             resolutions = [int(x) for x in a.split("=", 1)[1].split(",")]
         elif a.startswith("--ref_resolution="):
@@ -127,7 +200,7 @@ def main(argv=None):
             passthrough.append(a)
     cfg = parse_overrides(Config(), passthrough)
     run(cfg, resolutions, ref_resolution, n_tasks, n_points, seed,
-        per_task=per_task)
+        per_task=per_task, warm_chain=warm_chain)
 
 
 if __name__ == "__main__":

@@ -309,6 +309,21 @@ def make_pde(cfg: TaskConfig) -> PdeDef:
             out_dtype=jnp.float64,
         )
 
+    def solve_warm(params, resolution, warm_start, ref=False):
+        """Branch-tracking re-solve: warm-start from another resolution's
+        solution of the same task (convergence sweeps; NOT the operational
+        cache path, which stays warm-start-free so results are a pure
+        function of (task, resolution))."""
+        res = _ligament_floor(params, resolution if resolution else 32)
+        return fem_elasticity.solve_direct(
+            params,
+            resolution=res,
+            xmin=dom.xmin, xmax=dom.xmax, ymin=dom.ymin, ymax=dom.ymax,
+            top_displacement=TOP_DISPLACEMENT,
+            out_dtype=jnp.float64 if ref else jnp.float32,
+            warm_start=warm_start,
+        )
+
     def sample_validation_points(key, n, params, gt=None):
         return sample_points_in_domain(key, n, params)
 
@@ -329,4 +344,5 @@ def make_pde(cfg: TaskConfig) -> PdeDef:
         gt_version=3,
         solve_ref=solve_ref,
         effective_resolution=_ligament_floor,
+        solve_warm=solve_warm,
     )

@@ -34,6 +34,10 @@ class PdeDef(NamedTuple):
     effective_resolution: Callable = None  # optional (params, res) -> int:
     #   the resolution `solve` will actually use (e.g. hyper_elasticity's
     #   ligament-aware floor), so sweeps can report honest per-task grids
+    solve_warm: Callable = None  # optional (params, resolution, warm_start,
+    #   ref=False) -> gt: re-solve warm-started from another resolution's
+    #   solution of the same task (branch-tracking continuation for
+    #   convergence sweeps on PDEs with non-unique minimizers)
 
 
 def get_pde(cfg: TaskConfig) -> PdeDef:

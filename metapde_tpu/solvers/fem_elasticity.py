@@ -368,8 +368,17 @@ def solve_direct(
     grad_tol: float = 1e-8,
     out_dtype=jnp.float32,
     verbose: bool = False,
+    warm_start: ElasticityGroundTruth = None,
 ):
     """Damped-Newton solve with sparse-direct linear algebra (host, f64).
+
+    warm_start: optional solution from another resolution of the SAME task.
+    When given, the solve starts from its P1 interpolation at full load
+    (branch-tracking continuation: the refined solve stays on the warm
+    start's energy branch, which load stepping from scratch does not
+    guarantee — near-limit pore lattices have several pore-collapse
+    patterns at nearly equal energy). Falls back to the from-scratch load
+    continuation if the warm-started Newton fails to converge.
 
     Eager only — do not call inside jit. Returns the same
     ElasticityGroundTruth pytree as `solve` (cast to `out_dtype`), so the
@@ -510,12 +519,46 @@ def solve_direct(
                     break  # line-search-converged at this damping ladder
             return z, float(np.linalg.norm(grad_np(z, scale)))
 
+        accept_tol = max(grad_tol, 1e-5)
+
+        if warm_start is not None:
+            ws = jax.tree_util.tree_map(
+                lambda a: (jnp.asarray(a, f64)
+                           if jnp.issubdtype(jnp.result_type(a),
+                                             jnp.floating)
+                           else jnp.asarray(a)),
+                warm_start,
+            )
+            z0 = np.asarray(jax.vmap(
+                lambda x: evaluate_p1(ws.u_grid, ws.coords_grid,
+                                      ws.elem_alive, ws.bounds, x)
+            )(jnp.asarray(coords))).reshape(-1)
+            keep = np.repeat(node_alive > 0.5, 2) & free
+            z0 = np.where(keep, z0, 0.0)
+            z, gnorm = newton(z0, 1.0, newton_steps)
+            if gnorm <= accept_tol:
+                if verbose:
+                    print(f"  warm-start: |g| {gnorm:.3e}, "
+                          f"E {energy_np(z, top_displacement):.6f}",
+                          flush=True)
+                gt = _pack(prob, jnp.asarray(z), resolution,
+                           xmin, xmax, ymin, ymax, top_displacement)
+
+                def _cast_ws(a):
+                    a = jnp.asarray(a)
+                    return a.astype(out_dtype) if jnp.issubdtype(
+                        a.dtype, jnp.floating) else a
+
+                return jax.tree_util.tree_map(_cast_ws, gt)
+            if verbose:
+                print(f"  warm-start failed (|g| {gnorm:.3e}); falling "
+                      f"back to load continuation", flush=True)
+
         # Adaptive load continuation (the role of the reference's
         # relaxation back-off retry, hyper_elasticity_fenics.py:172-183):
         # advance the top displacement by ds, and when Newton fails to
         # converge — the post-buckling regime of near-limit pore lattices —
         # halve ds and retry from the last accepted state.
-        accept_tol = max(grad_tol, 1e-5)
         ds0 = 1.0 / load_steps
         ds_min = ds0 / 8.0
         z, s, ds = np.zeros(ndof), 0.0, ds0

@@ -103,3 +103,26 @@ def test_direct_beats_cascade_on_hard_geometry():
     gt_c = fe.solve(params, resolution=32)
     gt_d = fe.solve_direct(params, resolution=32)
     assert float(gt_d.final_energy) <= float(gt_c.final_energy) + 1e-6
+
+
+def test_solve_warm_branch_tracking():
+    """Warm-started refinement (solve_warm) converges and stays near the
+    coarse solution's energy branch on a mild geometry; the chained solve
+    must agree with the coarse one far better than the displacement scale."""
+    pde = _task(max_hole_size=0.3)
+    params = pde.sample_params(jax.random.PRNGKey(5))
+    g12 = pde.solve(params, resolution=12)
+    g24 = pde.solve_warm(params, 24, g12)
+    assert float(g24.final_gnorm) < 1e-5
+    # one branch: energies differ only by discretization, not by branch
+    assert abs(float(g24.final_energy) - float(g12.final_energy)) \
+        < 0.5 * abs(float(g12.final_energy)) + 1e-4
+    pts = pde.sample_validation_points(jax.random.PRNGKey(11), 256, params,
+                                       g24)
+    v12 = np.asarray(jax.vmap(lambda x: fe.evaluate(g12, x))(pts))
+    v24 = np.asarray(jax.vmap(lambda x: fe.evaluate(g24, x))(pts))
+    rel = np.mean((v12 - v24) ** 2) / np.mean(v24 ** 2)
+    assert rel < 5e-2, rel
+    # ref variant returns f64
+    g48 = pde.solve_warm(params, 24, g24, ref=True)
+    assert g48.u_grid.dtype == jnp.float64
