@@ -44,7 +44,7 @@ def _classify_tpu_pipeline_proc(argv, env):
         script = os.path.basename(argv[1]) if len(argv) > 1 else ""
         if script.startswith("queue_round") and script.endswith(".sh"):
             return "queue"
-        if script == "supervise.sh":
+        if script in ("supervise.sh", "supervise2.sh"):
             return "supervisor"
         return None
     if exe.startswith("python"):

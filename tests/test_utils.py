@@ -300,6 +300,8 @@ def test_bench_preempt_classifier():
     assert cls(["bash", "pipeline/queue_round7.sh", "6827"], "") == "queue"
     assert cls(["/bin/bash", "pipeline/supervise.sh", "out", "e", "60",
                 "900", "--", "python"], "") == "supervisor"
+    assert cls(["bash", "pipeline/supervise2.sh", "results_x", "bm6", "60",
+                "900", "--", "python"], "") == "supervisor"
     assert cls(["python", "-m", "metapde_tpu.cli.maml_pde",
                 "--task.pde=poisson"], "PYTHONPATH=/root/.axon_site") \
         == "trainer"
