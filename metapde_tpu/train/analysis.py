@@ -71,6 +71,38 @@ def accuracy_vs_time(paths: List[str]) -> List[dict]:
     return curves
 
 
+def sweep_summary(pattern: str) -> dict:
+    """Aggregate a deployment fine-tune sweep (seed dirs matching a glob).
+
+    Reports both aggregation conventions: this repo's median-of-best (robust
+    to heavy task tails) and the reference notebook's mean of the raw final
+    validation error across seeds (resultAnalysis.ipynb cell 22 np.mean over
+    seed trajectories — the statistic behind the paper's deployment
+    curves)."""
+    import glob as globlib
+    import statistics
+
+    paths = sorted(p for p in globlib.glob(pattern) if os.path.isdir(p))
+    bests, finals = [], []
+    for p in paths:
+        s = summarize(p)
+        if s.get("best_val_rel_err") is not None:
+            bests.append(s["best_val_rel_err"])
+            finals.append(s["final_val_rel_err"])
+    if not bests:
+        return {"pattern": pattern, "n_seeds": 0}
+    return {
+        "pattern": pattern,
+        "n_seeds": len(bests),
+        "median_best": statistics.median(bests),
+        "mean_best": statistics.fmean(bests),
+        "min_best": min(bests),
+        "max_best": max(bests),
+        "median_final": statistics.median(finals),
+        "mean_final": statistics.fmean(finals),  # reference statistic
+    }
+
+
 def load_baseline(path: str) -> Optional[Dict]:
     """Read a solver-baseline sweep's errors_by_resolution.json."""
     fname = os.path.join(path, "errors_by_resolution.json")
@@ -85,7 +117,10 @@ def main(argv=None):
 
     paths = argv if argv is not None else sys.argv[1:]
     for p in paths:
-        print(p, json.dumps(summarize(p), indent=2))
+        if any(ch in p for ch in "*?["):
+            print(json.dumps(sweep_summary(p), indent=2))
+        else:
+            print(p, json.dumps(summarize(p), indent=2))
 
 
 if __name__ == "__main__":
