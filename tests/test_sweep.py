@@ -101,3 +101,23 @@ def test_nn_driver_seed_varies_task():
     p1b = task_params(1)
     for a, b in zip(leaves1, jax.tree_util.tree_leaves(p1b)):
         assert np.allclose(np.asarray(a), np.asarray(b))
+
+
+def test_sweep_summary(tmp_path):
+    import json
+
+    from metapde_tpu.train.analysis import sweep_summary
+
+    for seed, errs in ((1, [0.5, 0.2, 0.3]), (2, [0.7, 0.1, 0.4])):
+        d = tmp_path / f"run_seed_{seed}"
+        d.mkdir()
+        with open(d / "metrics.jsonl", "w") as f:
+            for i, e in enumerate(errs):
+                f.write(json.dumps({
+                    "step": i, "val_rel_err": e, "val_mse": e / 10,
+                }) + "\n")
+    s = sweep_summary(str(tmp_path / "run_seed_*"))
+    assert s["n_seeds"] == 2
+    assert s["min_best"] == 0.1
+    assert s["max_best"] == 0.2
+    assert s["mean_final"] == (0.3 + 0.4) / 2
