@@ -124,9 +124,75 @@ def _ensure_exclusive_tpu(wait_s: float = 120.0):
     time.sleep(5.0)  # let the relay drop the dead client cleanly
 
 
+def _await_tpu(wait_s: float) -> bool:
+    """Wait (bounded) for the axon TPU tunnel to serve jax.devices().
+
+    The tunnel wedges for hours at a time (jax.devices() then blocks
+    forever, observed >=10 min); probing in THIS process would leave a
+    dead client registered, so each probe is a fresh subprocess with its
+    own timeout. Returns True as soon as one probe succeeds, False once
+    wait_s is exhausted."""
+    import subprocess
+    deadline = time.time() + wait_s
+    first = True
+    while first or time.time() < deadline:
+        first = False
+        try:
+            rc = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=180, stdout=subprocess.DEVNULL,
+                stderr=subprocess.DEVNULL,
+            ).returncode
+        except subprocess.TimeoutExpired:
+            rc = -1
+        if rc == 0:
+            return True
+        print(f"bench: TPU tunnel probe failed "
+              f"({max(0, deadline - time.time()):.0f}s of patience left)",
+              file=sys.stderr, flush=True)
+        if time.time() + 60 < deadline:
+            time.sleep(60)
+        else:
+            break
+    return False
+
+
+def _arm_watchdog(seconds: int):
+    """Hard cap on total bench runtime: if the tunnel wedges after the
+    probe succeeded, emit a schema-valid JSON line and exit instead of
+    hanging the round driver."""
+
+    def _fire(signum, frame):
+        print(json.dumps({
+            "metric": "poisson_maml_outer_steps_per_sec",
+            "value": 0.0, "unit": "steps/s", "vs_baseline": 0.0,
+            "error": f"bench watchdog fired after {seconds}s (TPU tunnel hang)",
+        }), flush=True)
+        os._exit(2)
+
+    signal.signal(signal.SIGALRM, _fire)
+    signal.alarm(seconds)
+
+
 def main():
     _ensure_exclusive_tpu()
+    backend = "tpu"
+    if not _await_tpu(float(os.environ.get("BENCH_TPU_WAIT_S", "1800"))):
+        # Tunnel stayed down: measure on CPU rather than hang. The JSON
+        # stays schema-valid and honestly labeled; vs_baseline is the
+        # real CPU-vs-reference-GPU ratio.
+        print("bench: TPU tunnel unavailable; falling back to CPU backend",
+              file=sys.stderr, flush=True)
+        os.environ["JAX_PLATFORMS"] = "cpu"  # for any subprocesses
+        backend = "cpu"
+    _arm_watchdog(int(os.environ.get("BENCH_HARD_TIMEOUT_S", "5400")))
     import jax
+
+    if backend == "cpu":
+        # sitecustomize pre-imports jax with the axon plugin registered,
+        # so the env var alone is too late for THIS process; the config
+        # flip works because no backend has been initialized yet.
+        jax.config.update("jax_platforms", "cpu")
 
     from metapde_tpu.config import Config, FieldConfig, MamlConfig, TaskConfig
     from metapde_tpu.train import maml_driver
@@ -148,14 +214,15 @@ def main():
     lr_opt_state = c["lr_opt"].init(lrs)
     many = c["train_step_many"]
     key = jax.random.PRNGKey(0)
-    block = 100
+    # CPU fallback: a second-order MAML outer step is ~seconds on this
+    # 1-core host; 100-step blocks would blow past the watchdog.
+    block, n_blocks = (100, 10) if backend == "tpu" else (4, 3)
 
     # warmup / compile; fetch forces real completion
     out = many(key, params, lrs, opt_state, lr_opt_state, n_steps=block)
     np.asarray(out[7])
     state = out[:4]
 
-    n_blocks = 10
     t0 = time.perf_counter()
     for _ in range(n_blocks):
         key, sk = jax.random.split(key)
@@ -166,12 +233,15 @@ def main():
     assert np.isfinite(last_losses).all()
 
     steps_per_sec = n_blocks * block / dt
-    print(json.dumps({
+    result = {
         "metric": "poisson_maml_outer_steps_per_sec",
         "value": round(steps_per_sec, 4),
         "unit": "steps/s",
         "vs_baseline": round(steps_per_sec * REF_STEP_TIME_S, 3),
-    }))
+    }
+    if backend != "tpu":
+        result["backend"] = backend  # CPU fallback run (TPU tunnel down)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -239,12 +239,55 @@ def _coerce(value: str, current, annotation):
     return v
 
 
-def parse_overrides(cfg: Config, argv) -> Config:
-    """Apply `--a.b.c=value` style CLI overrides to a Config."""
-    for arg in argv:
-        if not arg.startswith("--"):
+def merge_dict(obj, d: dict):
+    """Recursively merge a (possibly nested) plain dict into a frozen
+    config dataclass, ignoring unknown keys (forward/backward compat with
+    configs serialized by older/newer code)."""
+    kw = {}
+    flds = {f.name: f for f in dataclasses.fields(obj)}
+    for k, v in d.items():
+        if k not in flds:
             continue
+        cur = getattr(obj, k)
+        if dataclasses.is_dataclass(cur) and isinstance(v, dict):
+            kw[k] = merge_dict(cur, v)
+        elif isinstance(v, str):
+            kw[k] = _coerce(v, cur, flds[k].type)
+        else:
+            kw[k] = v
+    return _replace(obj, **kw)
+
+
+def load_run_config(run_dir: str, base: Optional[Config] = None) -> Config:
+    """Reconstruct the Config a previous run serialized to
+    `{run_dir}/config.json` (written by every driver at startup)."""
+    import os
+    with open(os.path.join(run_dir, "config.json")) as f:
+        return merge_dict(base or Config(), json.load(f))
+
+
+def parse_overrides(cfg: Config, argv) -> Config:
+    """Apply `--a.b.c=value` style CLI overrides to a Config.
+
+    `--from_run=DIR` (processed first, wherever it appears) loads DIR's
+    serialized config.json as the base config and points
+    train.load_model_from_expt at DIR — an exact-config continuation in
+    one flag. Later `--a.b.c=` overrides still apply on top. This is the
+    designed-in fix for the silent config-drift class of incident (a
+    relaunch command omitting one flag whose default differs from the
+    original run, cf. RESULTS.md hyperelasticity-LEAP caveat); the
+    reference has no equivalent (its resume re-reads global absl flags,
+    src/maml_pde.py:126-141)."""
+    args = [a for a in argv if a.startswith("--")]
+    for arg in args:
+        if arg.startswith("--from_run="):
+            run_dir = arg.split("=", 1)[1]
+            cfg = load_run_config(run_dir, base=cfg)
+            cfg = _set_nested(cfg, "train.load_model_from_expt", run_dir)
+    for arg in args:
         body = arg[2:]
+        if body.startswith("from_run="):
+            continue
         if "=" in body:
             k, v = body.split("=", 1)
         else:

@@ -1,6 +1,7 @@
 """Tests for utilities: trees, config, checkpoints, TB writer, cache,
 analysis, debugging."""
 
+import dataclasses
 import glob
 import json
 import os
@@ -61,6 +62,45 @@ def test_config_overrides():
         parse_overrides(Config(), ["--nope.x=1"])
     # serializes
     json.loads(cfg.to_json())
+
+
+def test_config_from_run(tmp_path):
+    """--from_run=DIR reconstructs a previous run's exact config from its
+    serialized config.json (the anti-config-drift continuation path),
+    with later CLI overrides still applying on top."""
+    orig = parse_overrides(Config(), [
+        "--task.pde=hyper_elasticity", "--task.bc_weight=100.0",
+        "--leap.inner_steps=20", "--model.layer_size=128",
+        "--task.domain.ymin=0.0", "--task.n_eval=8",
+        "--model.n_fourier=None", "--train.expt_name=lde1",
+    ])
+    run_dir = tmp_path / "lde1"
+    run_dir.mkdir()
+    (run_dir / "config.json").write_text(orig.to_json())
+
+    cfg = parse_overrides(Config(), [f"--from_run={run_dir}"])
+    # exact reconstruction apart from the resume pointer
+    assert cfg.train.load_model_from_expt == str(run_dir)
+    assert dataclasses.replace(
+        cfg.train, load_model_from_expt=orig.train.load_model_from_expt
+    ) == orig.train
+    assert cfg.task == orig.task and cfg.model == orig.model
+    assert cfg.leap == orig.leap and cfg.maml == orig.maml
+
+    # overrides on top win regardless of argv position
+    cfg2 = parse_overrides(Config(), [
+        "--train.outer_steps=120001", f"--from_run={run_dir}",
+    ])
+    assert cfg2.train.outer_steps == 120001
+    assert cfg2.task.bc_weight == orig.task.bc_weight
+
+    # unknown keys in a future config.json are ignored
+    blob = json.loads(orig.to_json())
+    blob["task"]["not_a_field"] = 1
+    blob["brand_new_section"] = {"x": 2}
+    (run_dir / "config.json").write_text(json.dumps(blob))
+    cfg3 = parse_overrides(Config(), [f"--from_run={run_dir}"])
+    assert cfg3.task == orig.task
 
 
 def test_checkpoint_roundtrip(tmp_path):
