@@ -117,14 +117,8 @@ def test_checkpoint_roundtrip(tmp_path):
     assert np.allclose(loaded["params"]["w"], state["params"]["w"])
 
 
-def test_tb_writer_records_parse(tmp_path):
-    from metapde_tpu.utils.tb_writer import EventWriter, _masked_crc
-
-    w = EventWriter(str(tmp_path), prefer_native=False)
-    w.scalar("val_loss", 0.5, 3)
-    w.histogram("weights", np.random.randn(100), 3)
-    w.close()
-    fname = glob.glob(str(tmp_path) + "/events*")[0]
+def _parse_tb_event_file(fname, _masked_crc):
+    """Walk a TFRecord event file, asserting every CRC; returns count."""
     with open(fname, "rb") as f:
         n_records = 0
         while True:
@@ -138,7 +132,34 @@ def test_tb_writer_records_parse(tmp_path):
             (crc_d,) = struct.unpack("<I", f.read(4))
             assert crc_d == _masked_crc(payload)
             n_records += 1
-    assert n_records == 3  # version + scalar + histogram
+    return n_records
+
+
+def test_tb_writer_records_parse(tmp_path):
+    from metapde_tpu.utils.tb_writer import EventWriter, _masked_crc
+
+    w = EventWriter(str(tmp_path), prefer_native=False)
+    w.scalar("val_loss", 0.5, 3)
+    w.histogram("weights", np.random.randn(100), 3)
+    w.close()
+    fname = glob.glob(str(tmp_path) + "/events*")[0]
+    assert _parse_tb_event_file(fname, _masked_crc) == 3
+    # version + scalar + histogram
+
+
+def test_tb_writer_native_core(tmp_path):
+    """The C++ core (native/tb_writer.cpp via ctypes) emits the same
+    CRC-valid TFRecord stream as the pure-Python fallback."""
+    from metapde_tpu.utils import tb_writer as tbw
+
+    w = tbw.EventWriter(str(tmp_path), prefer_native=True)
+    if w._lib is None:
+        pytest.skip("libtbwriter.so not built in this checkout")
+    w.scalar("val_loss", 0.25, 7)
+    w.histogram("weights", np.random.randn(64), 7)
+    w.close()
+    fname = glob.glob(str(tmp_path) + "/events*")[0]
+    assert _parse_tb_event_file(fname, tbw._masked_crc) == 3
 
 
 def test_gt_cache_roundtrip(tmp_path):
