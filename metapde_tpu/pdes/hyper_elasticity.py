@@ -313,7 +313,16 @@ def make_pde(cfg: TaskConfig) -> PdeDef:
         """Branch-tracking re-solve: warm-start from another resolution's
         solution of the same task (convergence sweeps; NOT the operational
         cache path, which stays warm-start-free so results are a pure
-        function of (task, resolution))."""
+        function of (task, resolution)).
+
+        newton_steps is raised well above solve_direct's default: the
+        whole point of this path is to stay on the warm start's energy
+        branch, and a short Newton budget can make the warm attempt
+        "fail" and silently fall back to from-scratch load continuation
+        on a different post-buckling branch (observed on a near-limit
+        task: 40 steps -> fallback branch 6% lower in energy, rel_mse
+        0.54 vs the tracked branch; 120 steps -> tracked branch, |g| to
+        1e-12)."""
         res = _ligament_floor(params, resolution if resolution else 32)
         return fem_elasticity.solve_direct(
             params,
@@ -322,6 +331,7 @@ def make_pde(cfg: TaskConfig) -> PdeDef:
             top_displacement=TOP_DISPLACEMENT,
             out_dtype=jnp.float64 if ref else jnp.float32,
             warm_start=warm_start,
+            newton_steps=120,
         )
 
     def sample_validation_points(key, n, params, gt=None):
