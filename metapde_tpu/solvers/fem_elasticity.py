@@ -68,7 +68,10 @@ class ElasticityGroundTruth(NamedTuple):
     # oracle health: norm of the energy gradient at the returned solution
     # (~1e-9 when Newton fully converged; large values flag tasks where the
     # post-buckling continuation had to accept a best-effort state)
-    final_gnorm: jnp.ndarray = jnp.zeros(())
+    # default is a Python scalar, NOT jnp.zeros(()): a device-array default
+    # would be materialized at module import, initializing the JAX backend
+    # (and claiming the TPU through the axon relay) as an import side effect
+    final_gnorm: jnp.ndarray = 0.0
 
 
 def _build_problem(params, resolution, xmin, xmax, ymin, ymax):
@@ -155,10 +158,11 @@ def _build_problem(params, resolution, xmin, xmax, ymin, ymax):
             )
             dz = jnp.where(jnp.isfinite(dz), dz, 0.0)
             # candidate-step line search on the true energy
+            e0 = e_fn(z)
             cand = jax.vmap(lambda a: e_fn(z + a * dz))(alphas)
             cand = jnp.where(jnp.isfinite(cand), cand, jnp.inf)
             best = jnp.argmin(cand)
-            improved = cand[best] < e_fn(z)
+            improved = cand[best] < e0
             z = jnp.where(improved, z + alphas[best] * dz, z)
             return z, None
 
@@ -168,6 +172,7 @@ def _build_problem(params, resolution, xmin, xmax, ymin, ymax):
     return {
         "geom": geom, "n_nodes": n_nodes, "energy": energy, "u_of": u_of,
         "newton_solve": newton_solve, "constrained": constrained,
+        "shear_mod": shear_mod, "bulk_mod": bulk_mod,
         "on_top": on_top, "coords0": coords0,
     }
 
@@ -207,8 +212,12 @@ def _solve_base(params, resolution, xmin, xmax, ymin, ymax, load_steps,
         # u_y += ddisp * (y - ymin)/(ymax - ymin): keeps J = 1 + ddisp > 0
         # uniformly, so no element starts a load step inverted. Uses SNAPPED
         # node y so the profile is continuous across the pore boundaries.
+        # Masked to free dofs: seeding constrained rows would feed the z^2
+        # tether in energy() until the damped line search pulls them back
+        # (solve_direct masks its affine the same way).
         frac = (coords[:, 1] - ymin) / (ymax - ymin)
-        affine = jnp.stack([jnp.zeros(n_nodes), frac], axis=1).reshape(-1)
+        free = ~jnp.repeat(prob["constrained"], 2)
+        affine = jnp.stack([jnp.zeros(n_nodes), frac], axis=1).reshape(-1) * free
         ddisp = top_displacement / load_steps
 
         z = jnp.zeros(n_nodes * 2)
@@ -417,11 +426,9 @@ def solve_direct(
         geom = prob["geom"]
         n_nodes = prob["n_nodes"]
         tris = np.asarray(mesh_topology(resolution))
-        _, bc_params, _, _ = params
-        young = float(bc_params[0])
-        mods = jnp.asarray(
-            [young / (2.0 * 1.49), young / (3.0 * (1.0 - 2.0 * 0.49))], f64
-        )
+        # same material constants the energy functional uses (a drift here
+        # would make Newton directions stop descending the accepted energy)
+        mods = jnp.asarray([prob["shear_mod"], prob["bulk_mod"]], f64)
 
         area = np.asarray(geom.area, np.float64)
         gradphi = jnp.asarray(geom.gradphi, f64)

@@ -90,6 +90,13 @@ def _element_geometry(coords, tris):
     return gradphi, area, midpts
 
 
+def _auto_precond(resolution: int) -> str:
+    """One home for the "auto" rule (solve and solve_x64 share it): mg for
+    resolution >= 32, where f32 Jacobi-BiCGStab stagnates on the stiffness
+    condition number; jacobi below (mg needs an even resolution chain)."""
+    return "mg" if resolution >= 32 and resolution % 2 == 0 else "jacobi"
+
+
 class PoissonGroundTruth(NamedTuple):
     """FEM solution on the (rho, theta) chart; u_grid[0] is the center value."""
 
@@ -115,7 +122,7 @@ def solve(params, resolution: int = 16, max_newton_steps: int = 12,
     on the stiffness condition number; jacobi below).
     """
     if precond == "auto":
-        precond = "mg" if resolution >= 32 and resolution % 2 == 0 else "jacobi"
+        precond = _auto_precond(resolution)
     if rel_tol is None:
         # the Newton residual tolerance must shrink with the discretization
         # error (~h^2) for refinement to pay off; floor near f32 noise
@@ -238,10 +245,13 @@ def solve_x64(params, resolution: int = 32, max_newton_steps: int = 20,
         rel_tol = max(2e-5 * (16.0 / resolution) ** 2, 1e-10)
     # the multigrid builder is dtype-generic (levels inherit geo_params'
     # dtype), so the f32 "auto" rule carries over
-    precond = "mg" if resolution >= 32 and resolution % 2 == 0 else "jacobi"
+    precond = _auto_precond(resolution)
     with jax.enable_x64(True):
         params64 = jax.tree_util.tree_map(
-            lambda a: jnp.asarray(a, jnp.float64), params
+            lambda a: (jnp.asarray(a, jnp.float64)
+                       if jnp.issubdtype(jnp.result_type(a), jnp.floating)
+                       else jnp.asarray(a)),
+            params,
         )
         with jax.default_matmul_precision("highest"):
             return _solve_impl_x64(params64, resolution, max_newton_steps,

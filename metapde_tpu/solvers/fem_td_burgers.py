@@ -63,8 +63,15 @@ def solve(
     bc_r = ic_fn(jnp.asarray(xmax), params)
 
     if substeps is None:
-        # implicit Euler is unconditionally stable; substep only so the
-        # O(dt) error keeps up with the O(h^2) spatial error
+        # implicit Euler is unconditionally stable; substep to dt ~ h so
+        # refinement keeps tightening the total error. NB the scheme stays
+        # first-order in time, so the O(dt)=O(h) time error dominates the
+        # O(h^2) spatial error on fine grids — same accuracy class as the
+        # reference oracle (td_burgers_fenics.py:101-119 steps implicit
+        # Euler at the fixed output dt with no substepping at all). The
+        # second-order-in-time oracle is the FV path (SSP-RK3, the default
+        # burgers_gt_solver); matching O(h^2) here would need dt ~ h^2 or a
+        # BDF2/Crank-Nicolson stepper.
         seg_dt = tmax / (num_tsteps - 1)
         substeps = max(1, math.ceil(seg_dt / h))
     dt = tmax / ((num_tsteps - 1) * substeps)

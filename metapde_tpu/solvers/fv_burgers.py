@@ -29,10 +29,22 @@ import jax.numpy as jnp
 
 
 class BurgersGroundTruth(NamedTuple):
-    """u on a [num_tsteps, nx+2] grid (wall values appended at both ends)."""
+    """u on a [num_tsteps, nx+2] grid.
 
-    u_grid: jnp.ndarray    # [T, nx+2] node/wall values
-    x_grid: jnp.ndarray    # [nx+2] including xmin and xmax
+    LAYOUT CAVEAT (FV producer, `solve` below): u_grid[:, 1:-1] are cell
+    averages at centers xmin + (j-0.5)dx and u_grid[:, 0]/[:, -1] are GHOST
+    values (2*bc - adjacent center) located at xmin-dx/2 / xmax+dx/2 — NOT
+    the wall values. x_grid stores [xmin, centers..., xmax] (the domain
+    span, for axis-range consumers like train/viz.py); it is NOT the
+    positions of columns 0 and -1. Only `evaluate` (half-cell index
+    mapping: u(xmin) = (ghost + first center)/2 = bc exactly) interprets
+    u_grid correctly — do not interpolate u_grid against x_grid directly.
+    The FEM producer (fem_td_burgers.solve) fills the same container with
+    true node values AT x_grid positions and pairs with its own evaluate.
+    """
+
+    u_grid: jnp.ndarray    # [T, nx+2] see layout caveat above
+    x_grid: jnp.ndarray    # [nx+2] [xmin, centers, xmax] (FV) / nodes (FEM)
     t_grid: jnp.ndarray    # [T]
 
 
@@ -46,9 +58,9 @@ def _godunov_flux(ul, ur):
     return jnp.where(ul <= ur, rare, shock)
 
 
-def _n_substeps(nx, tmax, max_reynolds, cfl, u_bound, num_tsteps):
+def _n_substeps(nx, length, tmax, max_reynolds, cfl, u_bound, num_tsteps):
     """Static worst-case stable step count (diffusion + advection limits)."""
-    dx = 1.0 / nx
+    dx = length / nx
     nu_max = 1.0 / (0.8 * max_reynolds)
     dt_adv = cfl * dx / u_bound
     dt_diff = 0.45 * dx * dx / nu_max
@@ -95,7 +107,7 @@ def solve(
     # maximum principle: |u| bounded by IC/BC sup; |a|,|b| <= 2 -> bound 5
     u_bound = 5.0
     n_total, per_seg = _n_substeps(
-        nx, tmax, max_reynolds, cfl, u_bound, num_tsteps
+        nx, length, tmax, max_reynolds, cfl, u_bound, num_tsteps
     )
     dt = tmax / n_total
 

@@ -67,9 +67,15 @@ def knn_interpolant(xys, values, mask=None, k: int = 5, temp: float = 1.0):
 
     def interp(x):
         dists = jnp.sum((xys - x[None, :]) ** 2, axis=1)
+        # masked (undefined) samples must neither occupy neighbor slots nor
+        # receive softmax weight: push them past every valid distance and
+        # drive their logits to -inf (a zero logit would still win e^0
+        # relative weight whenever valid neighbors have d >~ temp)
+        dists = jnp.where(mask > 0.5, dists, jnp.inf)
         neg_top, inds = jax.lax.top_k(-dists, k)
         d = -neg_top
-        w = jax.nn.softmax(mask[inds] * temp / (d + 1e-14))
+        logits = jnp.where(mask[inds] > 0.5, temp / (d + 1e-14), -jnp.inf)
+        w = jax.nn.softmax(logits)
         return jnp.einsum("k,kd->d", w, values[inds])
 
     return interp

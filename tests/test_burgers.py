@@ -105,6 +105,24 @@ def test_fv_ic_and_walls():
             assert abs(float(v)) < 1e-4
 
 
+def test_fv_nonunit_domain_stable():
+    """The static substep count must use the PHYSICAL cell width
+    (xmax-xmin)/nx; a hardcoded dx=1/nx exceeded the explicit-diffusion
+    stability limit by (1/L)^2 on domains shorter than 1 (regression)."""
+    params = _params(re=9.0)
+    gt = fv_burgers.solve(
+        params, resolution=64, num_tsteps=11, max_reynolds=10.0,
+        ic_fn=ic_fn, xmin=0.0, xmax=0.5,
+    )
+    assert bool(jnp.all(jnp.isfinite(gt.u_grid)))
+    # wall values still reproduce the BC (= IC at the wall coordinate)
+    for t in (0.4, 1.0):
+        for xw in (0.0, 0.5):
+            v = fv_burgers.evaluate(gt, jnp.array([xw, t]))
+            bc = float(ic_fn(jnp.asarray(xw), params))
+            assert abs(float(v) - bc) < 1e-4
+
+
 @pytest.mark.slow
 def test_fv_self_convergence():
     params = _params(re=90.0, a=1.0, b=0.5)

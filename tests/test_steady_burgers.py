@@ -181,3 +181,25 @@ def test_knn_interpolant_reproduces_smooth_field():
     out = np.asarray(interp(x))
     expect = np.asarray([np.sin(0.1), np.cos(0.2)])
     assert np.allclose(out, expect, atol=0.05)
+
+
+def test_knn_interpolant_excludes_masked_samples():
+    """Masked (undefined, e.g. in-pore) samples must get zero weight even
+    when they are among the k nearest: they must not occupy neighbor slots
+    nor receive softmax weight e^0 (regression)."""
+    key = jax.random.PRNGKey(0)
+    xys = jax.random.uniform(key, (400, 2), minval=-1.0, maxval=1.0)
+    vals = jnp.stack([jnp.sin(xys[:, 0]), jnp.cos(xys[:, 1])], axis=1)
+    x = jnp.asarray([0.1, 0.2])
+    # poison the nearest sample with garbage and mask it out
+    d = jnp.sum((xys - x[None, :]) ** 2, axis=1)
+    poison = int(jnp.argmin(d))
+    vals = vals.at[poison].set(jnp.asarray([1e6, -1e6]))
+    mask = jnp.ones(400).at[poison].set(0.0)
+    interp = knn_interpolant(xys, vals, mask=mask, temp=100.0)
+    out = np.asarray(interp(x))
+    expect = np.asarray([np.sin(0.1), np.cos(0.2)])
+    assert np.all(np.isfinite(out))
+    # loose tolerance: excluding the nearest sample costs some kNN accuracy;
+    # the guarded regression produces ~1e6-scale garbage, not 0.1-scale error
+    assert np.allclose(out, expect, atol=0.15)
