@@ -164,6 +164,22 @@ class MeshConfig:
 
 
 @dataclass(frozen=True)
+class DeployConfig:
+    """Deployment-time multi-start adaptation (train/multistart.py).
+
+    On multi-stable tasks (post-buckling hyperelasticity branches) a single
+    adaptation can land in a higher-energy basin (RESULTS.md audit). With
+    n_starts=K, deployment runs K vmapped adaptations under independent
+    PRNG streams and keeps the argmin of the self-computable total task
+    loss scored on one common point draw. No reference counterpart.
+    """
+
+    n_starts: int = 1    # 1 = single-start (the reference's behavior)
+    jitter: float = 0.0  # relative init jitter for candidates 1.. (0 = off)
+    score_points: int = 0  # points for the selection score; 0 -> task.validation_points
+
+
+@dataclass(frozen=True)
 class TrainConfig:
     """Driver-level training loop settings."""
 
@@ -198,6 +214,7 @@ class Config:
     leap: LeapConfig = field(default_factory=LeapConfig)
     solver: SolverConfig = field(default_factory=SolverConfig)
     mesh: MeshConfig = field(default_factory=MeshConfig)
+    deploy: DeployConfig = field(default_factory=DeployConfig)
     train: TrainConfig = field(default_factory=TrainConfig)
     seed: int = 0
 

@@ -194,10 +194,27 @@ def build(cfg: Config):
         )
         return final_params
 
+    # multi-start deployment (cfg.deploy.n_starts > 1): K vmapped rollouts,
+    # keep the argmin of the self-computable total loss (train/multistart.py)
+    deploy_final_model = get_final_model
+    if cfg.deploy.n_starts > 1:
+        from . import multistart as ms
+
+        score_fn = ms.make_score_fn(
+            pde, loss_fn, field,
+            cfg.deploy.score_points or cfg.task.validation_points,
+        )
+        # jitter only the model params, never the learned inner-LR pytree
+        jitter_fn = lambda k, m, s: (ms.jitter_leaves(k, m[0], s), m[1])
+        deploy_final_model = ms.wrap_get_final_model(
+            get_final_model, score_fn, cfg.deploy.n_starts,
+            jitter=cfg.deploy.jitter, jitter_fn=jitter_fn,
+        )
+
     def make_coef_func(key, model_and_lrs, task_params, coords,
                        inner_steps: Optional[int] = None):
         k = maml_def.inner_steps if inner_steps is None else inner_steps
-        final_params = get_final_model(key, model_and_lrs, task_params, k)
+        final_params = deploy_final_model(key, model_and_lrs, task_params, k)
         return jnp.squeeze(field.apply_inference(final_params, coords))
 
     @jax.jit
@@ -220,6 +237,7 @@ def build(cfg: Config):
         train_step=train_step,
         train_step_many=train_step_many,
         get_final_model=get_final_model,
+        deploy_final_model=deploy_final_model,
         make_coef_func=make_coef_func,
         validation_losses=validation_losses,
         mesh=mesh,

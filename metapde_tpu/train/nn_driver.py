@@ -97,8 +97,7 @@ def build(cfg: Config):
 
     train_step = jax.jit(_step_core)
 
-    @partial(jax.jit, static_argnames="n_steps")
-    def train_step_many(key, params, opt_state, n_steps):
+    def _step_many_core(key, params, opt_state, n_steps):
         """n_steps training steps as one device computation (see the MAML
         driver's train_step_many for rationale)."""
         def body(carry, k):
@@ -112,6 +111,35 @@ def build(cfg: Config):
         )
         aux_last = jax.tree_util.tree_map(lambda x: x[-1], aux_s)
         return params, opt_state, losses[-1], aux_last, gns[-1], losses
+
+    train_step_many = partial(jax.jit, static_argnames="n_steps")(
+        _step_many_core
+    )
+
+    # --- multi-start fine-tuning (cfg.deploy.n_starts > 1) ------------------
+    # K candidates fine-tuned in lockstep as one vmapped device computation
+    # (per-candidate PRNG streams + optional init jitter), selected by the
+    # self-computable total loss on a common point draw (train/multistart.py;
+    # motivated by the post-buckling basin tail, RESULTS.md audit).
+    from .multistart import make_score_fn
+
+    @partial(jax.jit, static_argnames="n_steps")
+    def ms_train_step_many(keys, params_k, opt_state_k, n_steps):
+        return jax.vmap(
+            lambda k, p, o: _step_many_core(k, p, o, n_steps)
+        )(keys, params_k, opt_state_k)
+
+    _score = make_score_fn(
+        pde, loss_fn, field,
+        cfg.deploy.score_points or cfg.task.validation_points,
+    )
+
+    @jax.jit
+    def ms_scores(key, params_k):
+        # the task is pinned (fixed_num_pdes=1), so any key yields THE task
+        task_params = pde.sample_params(jax.random.PRNGKey(0))
+        scores = jax.vmap(lambda fp: _score(key, fp, task_params))(params_k)
+        return jnp.where(jnp.isnan(scores), jnp.inf, scores)
 
     @jax.jit
     def get_grad_norms(key, params):
@@ -168,6 +196,8 @@ def build(cfg: Config):
         batch_loss_fn=jax.jit(batch_loss_fn),
         train_step=train_step,
         train_step_many=train_step_many,
+        ms_train_step_many=ms_train_step_many,
+        ms_scores=ms_scores,
         get_grad_norms=get_grad_norms,
         make_coef_func=make_coef_func,
         maml_warmup=maml_warmup,
@@ -210,7 +240,23 @@ def run(cfg: Config, maml_warmup: bool = False):
         params = c["maml_warmup"](wk, params, inner_lrs)
         log("applied MAML warm-up adaptation")
 
-    opt_state = c["opt"].init(params)
+    n_starts = max(1, cfg.deploy.n_starts)
+    if n_starts > 1:
+        # stack K candidates: candidate 0 is the exact init; 1.. optionally
+        # init-jittered; all get independent PRNG streams below
+        from .multistart import jitter_leaves
+
+        key, jk = jax.random.split(key)
+        jkeys = jax.random.split(jk, n_starts)
+        scales = jnp.where(jnp.arange(n_starts) == 0, 0.0, cfg.deploy.jitter)
+        params = jax.vmap(lambda k, s: jitter_leaves(k, params, s))(
+            jkeys, scales
+        )
+        opt_state = jax.vmap(c["opt"].init)(params)
+        log(f"multi-start fine-tune: {n_starts} candidates, "
+            f"jitter={cfg.deploy.jitter}")
+    else:
+        opt_state = c["opt"].init(params)
 
     key, gt_key, gt_points_key = jax.random.split(key, 3)
     gt_keys = jax.random.split(gt_key, cfg.task.n_eval)
@@ -241,29 +287,55 @@ def run(cfg: Config, maml_warmup: bool = False):
                 n = min(n, every - step % every)
         return max(1, min(n, spc))
 
+    def _current_best(score_key):
+        """(best-candidate params, idx, scores) under multi-start; identity
+        otherwise."""
+        if n_starts == 1:
+            return params, 0, None
+        scores = c["ms_scores"](score_key, params)
+        idx = int(jnp.argmin(scores))
+        best = jax.tree_util.tree_map(lambda x: x[idx], params)
+        return best, idx, scores
+
     step = 0
     while step < cfg.train.outer_steps:
         block = _next_boundary(step) if spc > 1 else 1
         key, subkey = jax.random.split(key)
         with Timer() as t:
-            if block == 1:
+            if n_starts > 1:
+                subkeys = jax.random.split(subkey, n_starts)
+                params, opt_state, loss_k, loss_aux_k, gn_k, losses_all = (
+                    c["ms_train_step_many"](subkeys, params, opt_state,
+                                            n_steps=block)
+                )
+                # report the best candidate's loss; NaN in SOME candidates
+                # only loses them the selection (scores -> inf)
+                best_k = int(jnp.argmin(
+                    jnp.where(jnp.isnan(loss_k), jnp.inf, loss_k)
+                ))
+                loss = loss_k[best_k]
+                grad_norm = gn_k[best_k]
+                loss_aux = jax.tree_util.tree_map(
+                    lambda x: x[best_k], loss_aux_k
+                )
+                nan_now = bool(np.all(np.isnan(
+                    np.asarray(losses_all)[:, -1]
+                )))
+            elif block == 1:
                 params, opt_state, loss, loss_aux, grad_norm = train_step(
                     subkey, params, opt_state
                 )
-                losses_all = None
+                nan_now = np.isnan(float(loss))
             else:
                 params, opt_state, loss, loss_aux, grad_norm, losses_all = (
                     train_step_many(subkey, params, opt_state, n_steps=block)
                 )
+                nan_now = bool(np.any(np.isnan(np.asarray(losses_all))))
             jax.block_until_ready(params)
         step_time = t.interval / block
         step += block
         log_step = step - 1
 
-        nan_now = (
-            np.isnan(float(loss)) if losses_all is None
-            else bool(np.any(np.isnan(np.asarray(losses_all))))
-        )
         if nan_now:
             log(f"encountered nan at step {log_step}")
             break
@@ -273,17 +345,29 @@ def run(cfg: Config, maml_warmup: bool = False):
                            else step % every == 0)
         )
         if hit(cfg.train.log_every):
+            key, sk = jax.random.split(key)
+            val_params, best_idx, scores = _current_best(sk)
             val = validation_fn(
-                params, bundle.gt_params, bundle.coords, bundle.gt_vals
+                val_params, bundle.gt_params, bundle.coords, bundle.gt_vals
+            )
+            ms_txt = (
+                "" if scores is None else
+                ", ms_best: {}, ms_scores: {}".format(
+                    best_idx, [float(s) for s in scores])
             )
             log(
                 "step: {}, loss: {}, val_mse: {}, val_rel_err: {}, "
-                "grad_norm: {}, time: {}".format(
+                "grad_norm: {}, time: {}{}".format(
                     log_step, float(loss), float(val.mse), float(val.rel_err),
-                    float(grad_norm), step_time,
+                    float(grad_norm), step_time, ms_txt,
                 )
             )
             if metrics is not None:
+                extra = {} if scores is None else {
+                    "ms_best_idx": best_idx,
+                    "ms_score_best": float(jnp.min(scores)),
+                    "ms_score_worst": float(jnp.max(scores)),
+                }
                 metrics.log(
                     log_step,
                     loss=loss,
@@ -294,15 +378,25 @@ def run(cfg: Config, maml_warmup: bool = False):
                     grad_norm=grad_norm,
                     step_time=step_time,
                     **{k: float(v) for k, v in loss_aux.items()},
+                    **extra,
                 )
 
-        if hit(cfg.train.measure_grad_norm_every):
+        if hit(cfg.train.measure_grad_norm_every) and n_starts == 1:
             norms = c["get_grad_norms"](subkey, params)
             log("loss vals and grad norms: ",
                 {k: (float(v[0]), float(v[1])) for k, v in norms.items()})
 
+    key, sk = jax.random.split(key)
+    final_params, best_idx, scores = _current_best(sk)
+    if scores is not None:
+        log("multi-start selection: best candidate {} of {}, scores {}".format(
+            best_idx, n_starts, [float(s) for s in scores]))
     if path is not None:
-        ckpt.save_checkpoint(path, step, {
-            "params": params, "opt_state": opt_state, "prng_key": key,
-        })
-    return params
+        state = {"params": final_params, "prng_key": key}
+        if n_starts == 1:
+            state["opt_state"] = opt_state
+        else:
+            state["ms_scores"] = np.asarray(scores)
+            state["ms_best_idx"] = best_idx
+        ckpt.save_checkpoint(path, step, state)
+    return final_params
