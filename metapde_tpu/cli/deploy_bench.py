@@ -94,6 +94,11 @@ def run(cfg: Config, algo: str = "maml", inner_steps_list=(0, 1, 2, 5, 10, 20),
         dt = (time.perf_counter() - t0) / repeats
         row = {
             "inner_steps": int(k),
+            # multi-start deployment (train/multistart.py) composes through
+            # make_coef_func; record the config so rows are self-describing
+            **({"n_starts": cfg.deploy.n_starts,
+                "jitter": cfg.deploy.jitter}
+               if cfg.deploy.n_starts > 1 else {}),
             "time_per_task_s": dt / cfg.task.n_eval,
             "val_mse": float(val.mse),
             "val_rel_err": float(val.rel_err),
