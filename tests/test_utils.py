@@ -102,6 +102,18 @@ def test_config_from_run(tmp_path):
     cfg3 = parse_overrides(Config(), [f"--from_run={run_dir}"])
     assert cfg3.task == orig.task
 
+    # config.json files from runs PREDATING a config section (e.g. the
+    # em5-era files have no "deploy") load with that section's defaults,
+    # and overrides into the new section still apply
+    blob = json.loads(orig.to_json())
+    del blob["deploy"]
+    (run_dir / "config.json").write_text(json.dumps(blob))
+    cfg4 = parse_overrides(Config(), [
+        f"--from_run={run_dir}", "--deploy.n_starts=8",
+    ])
+    assert cfg4.deploy.n_starts == 8 and cfg4.deploy.jitter == 0.0
+    assert cfg4.task == orig.task
+
 
 def test_checkpoint_roundtrip(tmp_path):
     from metapde_tpu.train import checkpoints as ckpt
