@@ -74,6 +74,33 @@ def run(cfg: Config, algo: str = "maml", inner_steps_list=(0, 1, 2, 5, 10, 20),
         cache_keys=gt_keys,
     )
 
+    # oracle-free quality signal: the self-computable total task loss of the
+    # deployed model (bc_weight * boundary + domain; for hyperelasticity the
+    # neo-Hookean energy + BC penalty) on a fixed fresh point draw. This is
+    # the multi-start selection objective (train/multistart.py) reported as
+    # a bench column — it flags optimization-multi-stability tails (basin
+    # misconvergence) WITHOUT a ground-truth solve.
+    from ..train.multistart import make_score_fn
+
+    score_fn = make_score_fn(
+        pde, c["loss_fn"], c["field"],
+        cfg.deploy.score_points or cfg.task.validation_points,
+    )
+
+    def make_self_loss_fn(k):
+        @jax.jit
+        def self_losses(model, gt_params):
+            keys = jax.random.split(jax.random.PRNGKey(0), cfg.task.n_eval)
+            sk = jax.random.PRNGKey(1)
+
+            def one(key, tp):
+                fp = c["deploy_final_model"](key, model, tp, int(k))
+                return score_fn(sk, fp, tp)
+
+            return jax.vmap(one)(keys, gt_params)
+
+        return self_losses
+
     rows = []
     for k in inner_steps_list:
         val_fn = make_validation_fn(
@@ -92,6 +119,8 @@ def run(cfg: Config, algo: str = "maml", inner_steps_list=(0, 1, 2, 5, 10, 20),
                          bundle.gt_vals)
             _ = float(val.mse)  # host fetch = hard barrier
         dt = (time.perf_counter() - t0) / repeats
+        self_losses = np.asarray(make_self_loss_fn(k)(model,
+                                                      bundle.gt_params))
         row = {
             "inner_steps": int(k),
             # multi-start deployment (train/multistart.py) composes through
@@ -105,6 +134,9 @@ def run(cfg: Config, algo: str = "maml", inner_steps_list=(0, 1, 2, 5, 10, 20),
             "val_rel_err_std": float(val.rel_err_std),
             "val_rel_err_median": float(val.rel_err_median),
             "val_rel_err_p90": float(val.rel_err_p90),
+            "self_loss_mean": float(np.mean(self_losses)),
+            "self_loss_median": float(np.median(self_losses)),
+            "self_loss_max": float(np.max(self_losses)),
         }
         rows.append(row)
         print(json.dumps(row))

@@ -306,6 +306,9 @@ def test_deploy_bench_runs(tmp_path):
     assert len(rows) == 2
     assert all(v["time_per_task_s"] > 0 for v in rows)
     assert all(jnp.isfinite(v["val_rel_err"]) for v in rows)
+    # the oracle-free quality column (multi-start selection objective)
+    assert all(jnp.isfinite(v["self_loss_mean"]) for v in rows)
+    assert all(v["self_loss_median"] <= v["self_loss_max"] for v in rows)
 
 
 def test_metrics_logger_mirrors_tb(tmp_path):
