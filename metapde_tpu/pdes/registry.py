@@ -42,7 +42,7 @@ class PdeDef(NamedTuple):
 
 def get_pde(cfg: TaskConfig) -> PdeDef:
     """Build the PdeDef for cfg.pde in {poisson, td_burgers,
-    hyper_elasticity, steady_burgers}."""
+    hyper_elasticity, steady_burgers, poisson3d}."""
     if cfg.pde == "poisson":
         from . import poisson
 
@@ -59,4 +59,8 @@ def get_pde(cfg: TaskConfig) -> PdeDef:
         from . import steady_burgers
 
         return steady_burgers.make_pde(cfg)
+    if cfg.pde == "poisson3d":
+        from . import poisson3d
+
+        return poisson3d.make_pde(cfg)
     raise ValueError(f"unrecognized pde: {cfg.pde!r}")
