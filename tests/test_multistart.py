@@ -150,6 +150,40 @@ def test_maml_deploy_final_model_multistart(tmp_path):
 
 
 @pytest.mark.slow
+def test_multistart_on_hyperelasticity_energy(tmp_path):
+    """The target family: selection scores the neo-Hookean energy + BC
+    penalty (the basin-separating quantity from the RESULTS.md audit)."""
+    from metapde_tpu.train import maml_driver
+    from metapde_tpu.train.multistart import make_score_fn
+
+    cfg = Config(
+        task=TaskConfig(pde="hyper_elasticity", inner_points=32,
+                        outer_points=32, validation_points=32, n_eval=1,
+                        max_holes=2, max_hole_size=0.4,
+                        vary_source=False, vary_bc=False),
+        model=FieldConfig(num_layers=2, layer_size=16),
+        maml=MamlConfig(bsize=2, inner_steps=2, inner_lr=1e-5),
+        deploy=DeployConfig(n_starts=4, jitter=0.1, score_points=32),
+        train=TrainConfig(outer_steps=1, viz_every=0, checkpoint_every=0),
+    )
+    c = maml_driver.build(cfg)
+    pde = c["pde"]
+    model = (c["init_params"], c["inner_lrs"])
+    task_params = pde.sample_params(jax.random.PRNGKey(10))
+
+    fp = c["deploy_final_model"](jax.random.PRNGKey(11), model,
+                                 task_params, 2)
+    score = make_score_fn(pde, c["loss_fn"], c["field"], 32)
+    s = float(score(jax.random.PRNGKey(12), fp, task_params))
+    assert np.isfinite(s)
+    vals = c["field"].apply_inference(
+        fp, pde.sample_points_in_domain(jax.random.PRNGKey(13), 8,
+                                        task_params)
+    )
+    assert np.all(np.isfinite(np.asarray(vals)))
+
+
+@pytest.mark.slow
 def test_nn_driver_multistart_run(tmp_path):
     """nn fine-tune with deploy.n_starts=3: runs, logs ms_* metrics, saves a
     SINGLE selected model in the checkpoint."""
