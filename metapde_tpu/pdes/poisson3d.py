@@ -122,6 +122,7 @@ def make_pde(cfg: TaskConfig) -> PdeDef:
         pool can under-fill the mask; 24n ball candidates keep >= 1.7n
         valid even at the worst-case geometry (min r = 0.6, ratio 0.071)."""
         _, _, geo_params = params
+        c1, c2 = geo_params
         k1, k2, k3 = jax.random.split(key, 3)
         n_cand = 24 * n
         dirs = jax.random.normal(k1, shape=(n_cand, 3))
@@ -132,7 +133,18 @@ def make_pde(cfg: TaskConfig) -> PdeDef:
         idxs = jax.random.choice(
             k3, x.shape[0], replace=False, p=1.0 - outside, shape=(n,)
         )
-        return x[idxs]
+        pts = x[idxs]
+        # Small-n tail guard: if fewer than n candidates were valid
+        # (binomially possible at tiny n for worst-case 7.1% fill),
+        # choice() pads with zero-probability (outside) candidates.
+        # Re-project any such pick radially to half its direction's star
+        # radius, which is strictly inside; a no-op in the normal case.
+        d = pts / jnp.maximum(
+            jnp.linalg.norm(pts, axis=1, keepdims=True), 1e-12
+        )
+        r_star = jax.vmap(lambda di: radius(di, c1, c2))(d)
+        bad = jax.vmap(is_outside, in_axes=(0, None))(pts, geo_params) > 0.5
+        return jnp.where(bad[:, None], 0.5 * r_star[:, None] * d, pts)
 
     def sample_points(key, n, params):
         k1, k2 = jax.random.split(key)

@@ -318,6 +318,10 @@ def run(cfg: Config, maml_warmup: bool = False):
                 loss_aux = jax.tree_util.tree_map(
                     lambda x: x[best_k], loss_aux_k
                 )
+                # kept per-candidate so the metrics row can report the
+                # SELECTION-best candidate's training stats (the row must
+                # describe one candidate, not a mix of two)
+                ms_cand = (loss_k, gn_k, loss_aux_k, best_k)
                 nan_now = bool(np.all(np.isnan(
                     np.asarray(losses_all)[:, -1]
                 )))
@@ -350,6 +354,17 @@ def run(cfg: Config, maml_warmup: bool = False):
             val = validation_fn(
                 val_params, bundle.gt_params, bundle.coords, bundle.gt_vals
             )
+            # under multi-start, every stat in this row must describe the
+            # same (selection-best) candidate; train-loss-best index is
+            # logged separately as ms_train_best_idx
+            row_loss, row_gn, row_aux = loss, grad_norm, loss_aux
+            if scores is not None:
+                loss_k, gn_k, loss_aux_k, best_k = ms_cand
+                row_loss = loss_k[best_idx]
+                row_gn = gn_k[best_idx]
+                row_aux = jax.tree_util.tree_map(
+                    lambda x: x[best_idx], loss_aux_k
+                )
             ms_txt = (
                 "" if scores is None else
                 ", ms_best: {}, ms_scores: {}".format(
@@ -358,26 +373,30 @@ def run(cfg: Config, maml_warmup: bool = False):
             log(
                 "step: {}, loss: {}, val_mse: {}, val_rel_err: {}, "
                 "grad_norm: {}, time: {}{}".format(
-                    log_step, float(loss), float(val.mse), float(val.rel_err),
-                    float(grad_norm), step_time, ms_txt,
+                    log_step, float(row_loss), float(val.mse),
+                    float(val.rel_err), float(row_gn), step_time, ms_txt,
                 )
             )
             if metrics is not None:
+                # diverged candidates score inf; keep metrics.jsonl strict
+                # RFC-8259 (no Infinity/NaN tokens) by mapping them to None
+                fin = lambda v: float(v) if np.isfinite(float(v)) else None
                 extra = {} if scores is None else {
                     "ms_best_idx": best_idx,
-                    "ms_score_best": float(jnp.min(scores)),
-                    "ms_score_worst": float(jnp.max(scores)),
+                    "ms_train_best_idx": best_k,
+                    "ms_score_best": fin(jnp.min(scores)),
+                    "ms_score_worst": fin(jnp.max(scores)),
                 }
                 metrics.log(
                     log_step,
-                    loss=loss,
+                    loss=row_loss,
                     val_mse=val.mse,
                     val_rel_err=val.rel_err,
                     val_rel_err_std=val.rel_err_std,
                     per_time_step_error=val.t_rel_sq_err,
-                    grad_norm=grad_norm,
+                    grad_norm=row_gn,
                     step_time=step_time,
-                    **{k: float(v) for k, v in loss_aux.items()},
+                    **{k: fin(v) for k, v in row_aux.items()},
                     **extra,
                 )
 

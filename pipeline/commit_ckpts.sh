@@ -8,12 +8,16 @@
 # gitignored by default; `git add -f` force-tracks exactly the newest
 # one per run dir (~2 MB each).
 #
+# The commit uses an explicit pathspec of exactly the files this script
+# staged, so anything else sitting in the index (user work staged by a
+# concurrent session) is never swept into a checkpoint commit.
+#
 # Usage: commit_ckpts.sh [message]
 cd "$(dirname "$0")/.."
 set -u
 MSG=${1:-"Checkpoint commit: newest weights per active run"}
 
-staged=0
+added=()
 for fam in results_*/; do
   for d in "$fam"*/; do
     [ -d "$d" ] || continue
@@ -21,10 +25,12 @@ for fam in results_*/; do
     [ -n "$newest" ] || continue
     # skip if this exact file is already tracked
     if ! git ls-files --error-unmatch "$newest" >/dev/null 2>&1; then
-      git add -f "$newest" && staged=1
+      git add -f "$newest" && added+=("$newest")
     fi
+    # -f: run metadata inside gitignored dirs (e.g. gtwarm*/) must still
+    # become durable, not just dirs covered by the gitignore whitelist
     for meta in config.json metrics.jsonl log.txt deploy_bench.jsonl; do
-      [ -f "$d$meta" ] && git add "$d$meta"
+      [ -f "$d$meta" ] && git add -f "$d$meta" && added+=("$d$meta")
     done
   done
 done
@@ -36,13 +42,13 @@ done
 for cache in results_*/gt_cache/*.pickle; do
   [ -f "$cache" ] || continue
   if ! git ls-files --error-unmatch "$cache" >/dev/null 2>&1; then
-    git add -f "$cache" && staged=1
+    git add -f "$cache" && added+=("$cache")
   fi
 done
 
-if ! git diff --cached --quiet; then
-  git commit -q -m "$MSG"
-  echo "commit_ckpts: committed at $(date)"
+if [ "${#added[@]}" -gt 0 ] && ! git diff --cached --quiet -- "${added[@]}"; then
+  git commit -q -m "$MSG" -- "${added[@]}"
+  echo "commit_ckpts: committed ${#added[@]} paths at $(date)"
 else
   echo "commit_ckpts: nothing new to commit"
 fi
