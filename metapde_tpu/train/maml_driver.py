@@ -98,6 +98,7 @@ def build(cfg: Config):
             outer_loss_decay=cfg.maml.outer_loss_decay,
             inner_grad_clip=cfg.maml.inner_grad_clip,
             remat=cfg.train.remat_inner_steps,
+            unroll=cfg.maml.unroll,
             pt_axis=POINT_AXIS if pt_sharded else None,
         )
 
@@ -187,7 +188,19 @@ def build(cfg: Config):
         inner_loss_fn = lambda key, fp: loss_fn(
             field.bind(fp), pts, task_params
         )
-        lrs_k = jax.tree_util.tree_map(lambda x: x[:inner_steps], lrs)
+        # k <= trained steps: truncate the learned-LR stack (reference
+        # maml_pde.py:163-183). k > trained steps: extend it by repeating
+        # the final step's LRs — deployment can then spend a larger
+        # adaptation budget than meta-training unrolled.
+        def _take_k(x):
+            if inner_steps <= x.shape[0]:
+                return x[:inner_steps]
+            pad = jnp.broadcast_to(
+                x[-1], (inner_steps - x.shape[0],) + x.shape[1:]
+            )
+            return jnp.concatenate([x, pad], axis=0)
+
+        lrs_k = jax.tree_util.tree_map(_take_k, lrs)
         temp_def = maml_def._replace(inner_steps=inner_steps)
         final_params, _ = maml.single_task_rollout(
             temp_def, k2, params, inner_loss_fn, lrs_k
