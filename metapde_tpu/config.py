@@ -110,6 +110,9 @@ class MamlConfig:
     grad_clip: float = 100.0
     outer_loss_decay: float = 0.1  # 0 = final-step loss only, 1 = sum of all
     softplus_lrs: bool = True
+    # inner-loop lax.scan unroll factor (meta/maml.py MamlDef.unroll):
+    # >1 trades compile time/code size for less while-loop overhead
+    unroll: int = 1
 
 
 @dataclass(frozen=True)

@@ -43,6 +43,12 @@ class MamlDef(NamedTuple):
     outer_loss_decay: float
     inner_grad_clip: float
     remat: bool = True
+    # lax.scan unroll factor for the inner loop. >1 emits that many body
+    # copies per loop trip — removes while-loop overhead for tiny bodies
+    # (TPU) and makes XLA's compiled cost analysis count the unrolled
+    # copies (its loop bodies are otherwise counted ONCE regardless of
+    # trip count). inner_steps % unroll must be 0.
+    unroll: int = 1
     # Collocation-point sharding (SURVEY.md section 2.3): when set (e.g. "pt"),
     # loss fns return the mean over their LOCAL point shard and the engine
     # pmeans losses/grads over this mesh axis. The pmean/pvary transposes give
@@ -140,7 +146,7 @@ def single_task_rollout(
         (rollout_key, jnp.zeros(())), rollout_key
     )
     (final_params, _, final_key, meta_loss), losses = jax.lax.scan(
-        body_fn, carry0, inner_lrs
+        body_fn, carry0, inner_lrs, unroll=maml_def.unroll
     )
 
     loss_final = _pt_mean(maml_def, inner_loss_fn(final_key, final_params)[0])
