@@ -283,15 +283,22 @@ def make_pde(cfg: TaskConfig) -> PdeDef:
             },
         )
 
-    def _ligament_floor(params, res):
+    def _ligament_floor(params, res, cap=192):
         if max_holes <= 0:
             return res
         return ligament_resolution_floor(
-            params[2], L0, dom.xmax - dom.xmin, res
+            params[2], L0, dom.xmax - dom.xmin, res, cap=cap
         )
 
-    def solve(params, resolution=None, boundary_points=None):
-        res = _ligament_floor(params, resolution if resolution else 32)
+    def solve(params, resolution=None, boundary_points=None,
+              boundary_cap=None):
+        # boundary_cap is the BOUNDARY-refinement sweep axis (the
+        # reference's fenics_baseline boundary_resolutions,
+        # fenics_baseline.py:44-54): the ligament floor exists purely to
+        # resolve pore-boundary geometry, so its cap controls how finely
+        # boundary walls are resolved at a fixed nominal bulk resolution.
+        cap = boundary_cap if boundary_cap is not None else 192
+        res = _ligament_floor(params, resolution if resolution else 32, cap)
         return fem_elasticity.solve_direct(
             params,
             resolution=res,
@@ -299,8 +306,10 @@ def make_pde(cfg: TaskConfig) -> PdeDef:
             top_displacement=TOP_DISPLACEMENT,
         )
 
-    def solve_ref(params, resolution=None, boundary_points=None):
-        res = _ligament_floor(params, resolution if resolution else 48)
+    def solve_ref(params, resolution=None, boundary_points=None,
+                  boundary_cap=None):
+        cap = boundary_cap if boundary_cap is not None else 192
+        res = _ligament_floor(params, resolution if resolution else 48, cap)
         return fem_elasticity.solve_direct(
             params,
             resolution=res,

@@ -149,13 +149,18 @@ def make_pde(cfg: TaskConfig) -> PdeDef:
 
     use_fem_gt = cfg.burgers_gt_solver == "fem"
 
-    def solve(params, resolution=None, boundary_points=None):
+    def solve(params, resolution=None, boundary_points=None,
+              num_tsteps=None):
+        # num_tsteps is the TIME-resolution sweep axis (the reference's
+        # fenics_baseline.py:132-173 sweeps spatial x time grids by
+        # rewriting FLAGS.num_tsteps); default = the task's config value
+        nt = num_tsteps if num_tsteps is not None else cfg.num_tsteps
         if use_fem_gt:
             res = resolution if resolution is not None else 256
             return fem_td_burgers.solve(
                 params,
                 resolution=res,
-                num_tsteps=cfg.num_tsteps,
+                num_tsteps=nt,
                 ic_fn=form.ic_fn,
                 xmin=dom.xmin,
                 xmax=dom.xmax,
@@ -165,7 +170,7 @@ def make_pde(cfg: TaskConfig) -> PdeDef:
         return fv_burgers.solve(
             params,
             resolution=res,
-            num_tsteps=cfg.num_tsteps,
+            num_tsteps=nt,
             max_reynolds=cfg.max_reynolds,
             ic_fn=form.ic_fn,
             xmin=dom.xmin,
@@ -173,12 +178,13 @@ def make_pde(cfg: TaskConfig) -> PdeDef:
             tmax=dom.tmax,
         )
 
-    def _fv_solve_ref(params, resolution=None, boundary_points=None):
+    def _fv_solve_ref(params, resolution=None, boundary_points=None,
+                      num_tsteps=None):
         res = resolution if resolution is not None else 1024
         return fv_burgers.solve_x64(
             params,
             resolution=res,
-            num_tsteps=cfg.num_tsteps,
+            num_tsteps=num_tsteps if num_tsteps is not None else cfg.num_tsteps,
             max_reynolds=cfg.max_reynolds,
             ic_fn=form.ic_fn,
             xmin=dom.xmin,

@@ -26,7 +26,17 @@ from ..utils import Timer, tree_unstack
 from .metrics import prepare_logging
 
 
-def run(cfg: Config, spatial_resolutions=(4, 8, 16, 32)):
+def run(cfg: Config, spatial_resolutions=(4, 8, 16, 32), axis2=None):
+    """Sweep solver accuracy-vs-time over `spatial_resolutions`, optionally
+    crossed with a second axis (the reference sweeps spatial x time x
+    boundary grids, fenics_baseline.py:38-54,132-173).
+
+    axis2: optional (kwarg_name, values) — each value is passed to
+        pde.solve as a keyword (e.g. ("num_tsteps", (33, 65, 129)) for
+        td_burgers time resolution; ("boundary_cap", (48, 96, 192)) for
+        hyper_elasticity boundary refinement). None = 1-axis sweep with
+        the solver's defaults (result keys stay plain "res").
+    """
     out_dir = cfg.train.out_dir or f"{cfg.task.pde}_solver_baseline"
     path, log, _ = prepare_logging(out_dir, cfg.train.expt_name)
     log(cfg.to_json())
@@ -57,36 +67,44 @@ def run(cfg: Config, spatial_resolutions=(4, 8, 16, 32)):
         ref_vals.append(np.asarray(v).reshape(v.shape[0], -1))
         coords.append(pts)
 
+    ax2_name, ax2_values = axis2 if axis2 is not None else (None, (None,))
     results = {}
     for res in spatial_resolutions:
         if res >= ref_res:
             continue
-        errs, times = [], []
-        # warm-up compile (excluded from timing, matching the reference's
-        # per-solve CPU timing discipline)
-        _ = jax.block_until_ready(
-            pde.solve(params_list[0], resolution=res)
-        )
-        for params, pts, ref in zip(params_list, coords, ref_vals):
-            with Timer() as t:
-                gt = pde.solve(params, resolution=res)
-                v = jax.vmap(lambda x: pde.evaluate_gt(gt, x))(pts)
-                jax.block_until_ready(v)
-            v = np.asarray(v).reshape(ref.shape)
-            err = v - ref
-            normalizer = np.mean(ref ** 2, axis=0, keepdims=True).mean()
-            errs.append(float(np.mean(err ** 2 / max(normalizer, 1e-12))))
-            times.append(t.interval)
-        results[str(res)] = {
-            "rel_mse": float(np.mean(errs)),
-            "rel_mse_std": float(np.std(errs)),
-            # the mean is tail-dominated on pore-geometry families (a few
-            # hard tasks); report the median alongside, matching the
-            # deploy-bench metrics
-            "rel_mse_median": float(np.median(errs)),
-            "time_per_solve": float(np.mean(times)),
-        }
-        log(f"res {res}: rel_mse {np.mean(errs):.3e} @ {np.mean(times):.4f}s/solve")
+        for v2 in ax2_values:
+            kw = {} if v2 is None else {ax2_name: v2}
+            errs, times = [], []
+            # warm-up compile (excluded from timing, matching the
+            # reference's per-solve CPU timing discipline)
+            _ = jax.block_until_ready(
+                pde.solve(params_list[0], resolution=res, **kw)
+            )
+            for params, pts, ref in zip(params_list, coords, ref_vals):
+                with Timer() as t:
+                    gt = pde.solve(params, resolution=res, **kw)
+                    v = jax.vmap(lambda x: pde.evaluate_gt(gt, x))(pts)
+                    jax.block_until_ready(v)
+                v = np.asarray(v).reshape(ref.shape)
+                err = v - ref
+                normalizer = np.mean(ref ** 2, axis=0, keepdims=True).mean()
+                errs.append(float(np.mean(err ** 2 / max(normalizer, 1e-12))))
+                times.append(t.interval)
+            entry = {
+                "rel_mse": float(np.mean(errs)),
+                "rel_mse_std": float(np.std(errs)),
+                # the mean is tail-dominated on pore-geometry families (a
+                # few hard tasks); report the median alongside, matching
+                # the deploy-bench metrics
+                "rel_mse_median": float(np.median(errs)),
+                "time_per_solve": float(np.mean(times)),
+            }
+            label = str(res) if v2 is None else f"{res},{ax2_name}={v2}"
+            if v2 is not None:
+                entry[ax2_name] = v2
+            results[label] = entry
+            log(f"res {label}: rel_mse {np.mean(errs):.3e} "
+                f"@ {np.mean(times):.4f}s/solve")
 
     if path is not None:
         with open(os.path.join(path, "errors_by_resolution.json"), "w") as f:
