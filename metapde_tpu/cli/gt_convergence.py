@@ -28,10 +28,15 @@ from ..pdes import get_pde
 
 def run(cfg: Config, resolutions, ref_resolution: int, n_tasks: int = 4,
         n_points: int = 1024, seed: int = 0, per_task: bool = False,
-        warm_chain: bool = False):
+        warm_chain: bool = False, task_index: int = None):
     pde = get_pde(cfg.task)
     keys = jax.random.split(jax.random.PRNGKey(seed), n_tasks)
     tasks = [pde.sample_params(k) for k in keys]
+    if task_index is not None:
+        # single-task deep dive (e.g. pushing the hardest near-limit
+        # geometry to finer lattices); keeps the same task identities as
+        # the full n_tasks sweep so rows are comparable
+        tasks = [tasks[task_index]]
 
     if warm_chain:
         if pde.solve_warm is None:
@@ -180,6 +185,7 @@ def main(argv=None):
     n_tasks, n_points, seed = 4, 1024, 0
     per_task = False
     warm_chain = False
+    task_index = None
     passthrough = []
     for a in argv:
         if a == "--per_task":
@@ -196,11 +202,13 @@ def main(argv=None):
             n_points = int(a.split("=", 1)[1])
         elif a.startswith("--seed="):
             seed = int(a.split("=", 1)[1])
+        elif a.startswith("--task_index="):
+            task_index = int(a.split("=", 1)[1])
         else:
             passthrough.append(a)
     cfg = parse_overrides(Config(), passthrough)
     run(cfg, resolutions, ref_resolution, n_tasks, n_points, seed,
-        per_task=per_task, warm_chain=warm_chain)
+        per_task=per_task, warm_chain=warm_chain, task_index=task_index)
 
 
 if __name__ == "__main__":

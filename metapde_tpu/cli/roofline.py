@@ -155,7 +155,7 @@ def main(argv=None):
             "layer_size": args.layer_size, "num_layers": args.num_layers,
             "bsize": args.bsize, "points": args.points,
             "inner_steps": args.inner_steps, "bf16": args.bf16,
-            "remat": not args.no_remat,
+            "remat": not args.no_remat, "unroll": args.unroll,
         },
         "steps_per_sec": round(steps_per_sec, 3),
         "ms_per_step": round(1e3 / steps_per_sec, 4),
