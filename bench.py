@@ -194,7 +194,9 @@ def main():
         # flip works because no backend has been initialized yet.
         jax.config.update("jax_platforms", "cpu")
 
-    from metapde_tpu.config import Config, FieldConfig, MamlConfig, TaskConfig
+    from metapde_tpu.config import (
+        Config, FieldConfig, MamlConfig, TaskConfig, TrainConfig,
+    )
     from metapde_tpu.train import maml_driver
 
     cfg = Config(
@@ -206,7 +208,13 @@ def main():
         maml=MamlConfig(
             bsize=16, inner_steps=5, inner_lr=1e-4, outer_lr=1e-5,
             inner_grad_clip=100.0, grad_clip=100.0,
+            # fastest measured flagship variant (RESULTS.md round-2
+            # roofline table): fully-unrolled inner scan without remat is
+            # +13% steps/s over the remat+loop default at this model size
+            # (recompute saves traffic only when the loop is a real loop)
+            unroll=5,
         ),
+        train=TrainConfig(remat_inner_steps=False),
     )
     c = maml_driver.build(cfg)
     params, lrs = c["init_params"], c["inner_lrs"]
@@ -233,11 +241,20 @@ def main():
     assert np.isfinite(last_losses).all()
 
     steps_per_sec = n_blocks * block / dt
+    # north-star secondary metric (BASELINE.json): collocation-point
+    # residual evaluations/s/chip inside the doubly-differentiated unroll
+    # = bsize * (inner_steps * inner_points + (inner_steps + 1) * outer
+    # points) per outer step
+    pt_evals_per_step = cfg.maml.bsize * (
+        cfg.maml.inner_steps * cfg.task.inner_points
+        + (cfg.maml.inner_steps + 1) * cfg.task.outer_points
+    )
     result = {
         "metric": "poisson_maml_outer_steps_per_sec",
         "value": round(steps_per_sec, 4),
         "unit": "steps/s",
         "vs_baseline": round(steps_per_sec * REF_STEP_TIME_S, 3),
+        "residual_pt_evals_per_sec": round(steps_per_sec * pt_evals_per_step),
     }
     if backend != "tpu":
         result["backend"] = backend  # CPU fallback run (TPU tunnel down)
