@@ -71,6 +71,7 @@ def test_driver_elastic_resume(tmp_path, algo):
     assert "config drift" not in text
 
 
+@pytest.mark.slow
 def test_config_drift_detection(tmp_path):
     """A resume command that silently changes the objective must warn.
 

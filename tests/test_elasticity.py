@@ -114,6 +114,7 @@ def test_solver_with_pores_converges():
     assert np.linalg.norm(np.asarray(v)) < 0.02
 
 
+@pytest.mark.slow
 def test_energy_decreases_with_resolution_consistency():
     """Same task solved at res 12 vs 24: displacement fields agree within
     a few percent away from pores (self-consistency)."""

@@ -14,7 +14,11 @@ hyper_elasticity_fenics.py:143). These tests pin:
 import jax
 import jax.numpy as jnp
 import numpy as np
+
 import pytest
+
+# solver-tier: convergence/oracle checks, not semantic smoke
+pytestmark = pytest.mark.slow
 
 from metapde_tpu.config import Config, parse_overrides
 from metapde_tpu.pdes import get_pde

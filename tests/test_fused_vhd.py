@@ -92,7 +92,11 @@ def test_vjac_matches_generic_ad():
 
 
 @pytest.mark.parametrize(
-    "pde_name", ["poisson", "td_burgers", "steady_burgers", "hyper_elasticity"]
+    "pde_name",
+    ["poisson",
+     pytest.param("td_burgers", marks=pytest.mark.slow),
+     pytest.param("steady_burgers", marks=pytest.mark.slow),
+     pytest.param("hyper_elasticity", marks=pytest.mark.slow)]
 )
 def test_fused_loss_and_grads_match_generic(pde_name):
     cfg = _task_cfg(pde_name)

@@ -40,6 +40,7 @@ def test_no_pores_identity():
     assert np.allclose(np.asarray(g.coords), c0, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_alive_area_second_order_convergence():
     php, nh = _circle_pore()
     exact = 1.0 - np.pi * 0.2 ** 2

@@ -1,8 +1,12 @@
 """Geometric-multigrid preconditioner tests (solvers/multigrid.py)."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
+
+# solver-tier: convergence/oracle checks, not semantic smoke
+pytestmark = pytest.mark.slow
 
 from metapde_tpu.config import TaskConfig
 from metapde_tpu.pdes import get_pde

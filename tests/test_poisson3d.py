@@ -92,6 +92,7 @@ def test_radius_smooth_at_poles():
     assert np.isclose(float(radius(equator, c1, c2)), 1.0 + c1 - c2)
 
 
+@pytest.mark.slow
 def test_fused_vhd_matches_operator_path_in_3d():
     """The fused Taylor-mode residual (field.bind(...).vhd) must agree with
     the jacfwd-of-grad operator path for in_dim=3."""

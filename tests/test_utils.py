@@ -277,6 +277,7 @@ def test_key_lineage_checker():
         kl.use(k1)
 
 
+@pytest.mark.slow
 def test_deploy_bench_runs(tmp_path):
     """End-to-end deployment benchmark on a synthesized checkpoint."""
     import jax
@@ -326,6 +327,7 @@ def test_metrics_logger_mirrors_tb(tmp_path):
     assert os.path.getsize(tmp_path / "tb" / evts[0]) > 0
 
 
+@pytest.mark.slow
 def test_lookahead_ranger_semantics():
     """Lookahead wrapper: fast steps between syncs, slow-weight blend at
     sync_period; params pytree shape unchanged; converges on a quadratic."""

@@ -11,7 +11,11 @@ two paths discretize the same problem and differ only in precision.
 import jax
 import jax.numpy as jnp
 import numpy as np
+
 import pytest
+
+# solver-tier: convergence/oracle checks, not semantic smoke
+pytestmark = pytest.mark.slow
 
 from metapde_tpu.config import TaskConfig, DomainConfig
 from metapde_tpu.pdes import get_pde
