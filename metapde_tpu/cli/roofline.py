@@ -48,6 +48,7 @@ def build_step(args, unroll=None):
         task=TaskConfig(
             pde=args.pde, inner_points=args.points, outer_points=args.points,
             validation_points=args.points, n_eval=2, bc_weight=1.0,
+            sample_with_replacement=args.fast_sampler,
         ),
         model=FieldConfig(
             num_layers=args.num_layers, layer_size=args.layer_size,
@@ -94,6 +95,9 @@ def main(argv=None):
                    help="disable inner-unroll rematerialization")
     p.add_argument("--unroll", type=int, default=1,
                    help="inner-loop scan unroll factor for the TIMED step")
+    p.add_argument("--fast_sampler", action="store_true",
+                   help="sort-free with-replacement point draws "
+                        "(task.sample_with_replacement)")
     args = p.parse_args(argv)
 
     import jax
@@ -156,6 +160,7 @@ def main(argv=None):
             "bsize": args.bsize, "points": args.points,
             "inner_steps": args.inner_steps, "bf16": args.bf16,
             "remat": not args.no_remat, "unroll": args.unroll,
+            "fast_sampler": args.fast_sampler,
         },
         "steps_per_sec": round(steps_per_sec, 3),
         "ms_per_step": round(1e3 / steps_per_sec, 4),

@@ -84,6 +84,13 @@ class TaskConfig:
     outer_points: int = 256
     validation_points: int = 1024
     n_eval: int = 16
+    # Domain/boundary point draws from the masked candidate pool: False
+    # reproduces the reference's no-duplicate subsample
+    # (jax.random.choice(replace=False), poisson_common.py:118 — a Gumbel
+    # top-k that costs a TPU sort per draw); True draws iid WITH
+    # replacement — an equally unbiased Monte-Carlo estimator of the same
+    # uniform-domain losses, sort-free and markedly faster per step.
+    sample_with_replacement: bool = False
     # td_burgers specific (common_flags.py:54-58)
     num_tsteps: int = 101
     sample_tsteps: int = 64

@@ -163,7 +163,8 @@ def make_pde(cfg: TaskConfig) -> PdeDef:
         mask = jnp.arange(per_hole_params.shape[0])[None, :] < n_holes
         in_hole = jnp.any(in_hole & mask, axis=1)
         idxs = jax.random.choice(
-            key, xy.shape[0], replace=False, p=1.0 - in_hole, shape=(n,)
+            key, xy.shape[0], replace=not cfg.sample_with_replacement,
+            p=1.0 - in_hole, shape=(n,)
         )
         return xy[idxs]
 
@@ -206,8 +207,8 @@ def make_pde(cfg: TaskConfig) -> PdeDef:
             & (xy[:, 1] > dom.ymin) & (xy[:, 1] < dom.ymax)
         )
         idxs = jax.random.choice(
-            k2, xy.shape[0], replace=False, p=in_bound.astype(jnp.float32),
-            shape=(n,),
+            k2, xy.shape[0], replace=not cfg.sample_with_replacement,
+            p=in_bound.astype(jnp.float32), shape=(n,),
         )
         return xy[idxs]
 

@@ -102,7 +102,8 @@ def make_pde(cfg: TaskConfig) -> PdeDef:
         xy = jnp.stack([xs, ys], axis=1)
         in_hole = jax.vmap(is_in_hole, in_axes=(0, None))(xy, geo_params)
         idxs = jax.random.choice(
-            k3, xy.shape[0], replace=False, p=1.0 - in_hole, shape=(n,)
+            k3, xy.shape[0], replace=not cfg.sample_with_replacement,
+            p=1.0 - in_hole, shape=(n,)
         )
         return xy[idxs]
 

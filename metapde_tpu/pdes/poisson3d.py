@@ -131,7 +131,8 @@ def make_pde(cfg: TaskConfig) -> PdeDef:
         x = rad * dirs
         outside = jax.vmap(is_outside, in_axes=(0, None))(x, geo_params)
         idxs = jax.random.choice(
-            k3, x.shape[0], replace=False, p=1.0 - outside, shape=(n,)
+            k3, x.shape[0], replace=not cfg.sample_with_replacement,
+            p=1.0 - outside, shape=(n,)
         )
         pts = x[idxs]
         # Small-n tail guard: if fewer than n candidates were valid

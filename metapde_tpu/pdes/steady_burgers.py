@@ -179,7 +179,8 @@ def make_pde(cfg: TaskConfig) -> PdeDef:
         xy = jnp.stack([xs, ys], axis=1)
         in_hole = _in_any_hole(xy, params)
         idxs = jax.random.choice(
-            k3, n_cand, replace=False, p=1.0 - in_hole, shape=(n,)
+            k3, n_cand, replace=not cfg.sample_with_replacement,
+            p=1.0 - in_hole, shape=(n,)
         )
         return xy[idxs]
 
