@@ -53,6 +53,7 @@ def build_step(args, unroll=None):
         model=FieldConfig(
             num_layers=args.num_layers, layer_size=args.layer_size,
             omega=30.0, omega0=30.0,
+            compute_dtype=args.compute_dtype or None,
         ),
         maml=MamlConfig(
             bsize=args.bsize, inner_steps=args.inner_steps, inner_lr=1e-4,
@@ -90,7 +91,14 @@ def main(argv=None):
     p.add_argument("--trace_dir", default="",
                    help="also capture a jax.profiler trace of one block")
     p.add_argument("--bf16", action="store_true",
-                   help="cast model params (not LRs/opt state) to bfloat16")
+                   help="cast model params (not LRs/opt state) to bfloat16 "
+                        "(storage-only; x(f32) @ w(bf16) promotes back to "
+                        "f32 under jnp rules, so compute stays f32 — use "
+                        "--compute_dtype for real mixed-precision compute)")
+    p.add_argument("--compute_dtype", default="",
+                   help="model.compute_dtype: store inter-layer h/J/D in "
+                        "this dtype (e.g. bfloat16) with f32 matmul "
+                        "accumulation — halves carried-tensor traffic")
     p.add_argument("--no_remat", action="store_true",
                    help="disable inner-unroll rematerialization")
     p.add_argument("--unroll", type=int, default=1,
@@ -159,6 +167,7 @@ def main(argv=None):
             "layer_size": args.layer_size, "num_layers": args.num_layers,
             "bsize": args.bsize, "points": args.points,
             "inner_steps": args.inner_steps, "bf16": args.bf16,
+            "compute_dtype": args.compute_dtype or "float32",
             "remat": not args.no_remat, "unroll": args.unroll,
             "fast_sampler": args.fast_sampler,
         },

@@ -61,6 +61,14 @@ class FieldConfig:
     in_dim: int = 2               # input (coordinate) dimension
     squeeze_scalar: bool = True   # scalar fields return shape [N] (sum last axis)
     dtype: str = "float32"
+    # Mixed-precision compute for the apply/vhd/vjac chains: when set
+    # (e.g. "bfloat16"), inter-layer carried tensors (activations h and
+    # the Taylor-mode J/D tangents) are STORED in this dtype — halving
+    # the HBM/VMEM traffic the roofline shows the step is bound by —
+    # while every matmul accumulates in f32 (preferred_element_type) and
+    # activation/transcendental math runs in f32. Params stay f32 master
+    # copies; outputs are cast back to f32. None = pure f32 (default).
+    compute_dtype: Optional[str] = None
 
 
 @dataclass(frozen=True)

@@ -120,6 +120,33 @@ def init_field_params(key, cfg: FieldConfig):
     return params
 
 
+def _mixed_dots(cfg: FieldConfig, acc_dtype):
+    """(dot, ein, store) helpers implementing cfg.compute_dtype.
+
+    dot/ein cast both matmul operands to the compute dtype and force the
+    accumulator back to acc_dtype (f32) via preferred_element_type — the
+    MXU accumulates bf16 x bf16 products in f32 natively, so this is the
+    fast path with no precision loss in the reduction. store() casts a
+    carried inter-layer tensor down so the materialized buffer (the HBM
+    traffic the roofline shows the step is bound by) is half-width.
+    Elementwise activation math stays in acc_dtype throughout."""
+    cd = jnp.dtype(cfg.compute_dtype) if cfg.compute_dtype else None
+    if cd is None:
+        return (
+            lambda a, w: a @ w,
+            lambda t, w: jnp.einsum("nif,fg->nig", t, w),
+            lambda t: t,
+        )
+    return (
+        lambda a, w: jnp.matmul(
+            a.astype(cd), w.astype(cd), preferred_element_type=acc_dtype),
+        lambda t, w: jnp.einsum(
+            "nif,fg->nig", t.astype(cd), w.astype(cd),
+            preferred_element_type=acc_dtype),
+        lambda t: t.astype(cd),
+    )
+
+
 def field_apply(params, x, cfg: FieldConfig):
     """Evaluate the field at coordinates x of shape [..., in_dim].
 
@@ -129,6 +156,7 @@ def field_apply(params, x, cfg: FieldConfig):
     single = x.ndim == 1
     batch_shape = x.shape[:-1]
     h = x.reshape(-1, x.shape[-1])
+    dot, _, store = _mixed_dots(cfg, x.dtype)
 
     if cfg.log_scale:
         h = h * jnp.exp(params["log_in_scale"]).reshape(1, -1)
@@ -137,13 +165,14 @@ def field_apply(params, x, cfg: FieldConfig):
 
     layers = params["layers"]
     for layer in layers[:-1]:
-        a = h @ layer["w"] + layer["b"]
+        a = dot(h, layer["w"]) + layer["b"]
         if cfg.siren:
             h = jnp.sin(cfg.omega * a)
         else:
             h = jax.nn.swish(a)
+        h = store(h)
     out_layer = layers[-1]
-    out = h @ out_layer["w"] + out_layer["b"]
+    out = dot(h, out_layer["w"]) + out_layer["b"]
 
     if cfg.log_scale:
         out = out * jnp.exp(params["log_out_scale"]).reshape(1, -1)
@@ -179,6 +208,7 @@ def field_apply_vhd(params, x, cfg: FieldConfig):
     """
     n, d = x.shape
     h = x
+    dot, ein, store = _mixed_dots(cfg, x.dtype)
     # J [N, d, F]: J[n, i, f] = d h_f / d x_i ;  D likewise second derivative
     J = jnp.broadcast_to(jnp.eye(d, dtype=x.dtype)[None], (n, d, d))
     D = jnp.zeros_like(J)
@@ -215,9 +245,9 @@ def field_apply_vhd(params, x, cfg: FieldConfig):
     layers = params["layers"]
     for layer in layers[:-1]:
         w, b = layer["w"], layer["b"]
-        a = h @ w + b
-        Ja = jnp.einsum("nif,fg->nig", J, w)
-        Da = jnp.einsum("nif,fg->nig", D, w)
+        a = dot(h, w) + b
+        Ja = ein(J, w)
+        Da = ein(D, w)
         if cfg.siren:
             sa = jnp.sin(cfg.omega * a)
             ca = jnp.cos(cfg.omega * a)
@@ -235,12 +265,13 @@ def field_apply_vhd(params, x, cfg: FieldConfig):
             h = sw
             J = d1[:, None, :] * Ja
             D = d2[:, None, :] * Ja ** 2 + d1[:, None, :] * Da
+        h, J, D = store(h), store(J), store(D)
 
     out_layer = layers[-1]
     w, b = out_layer["w"], out_layer["b"]
-    u = h @ w + b                              # [N, o]
-    J = jnp.einsum("nif,fg->nig", J, w)        # [N, d, o]
-    D = jnp.einsum("nif,fg->nig", D, w)
+    u = dot(h, w) + b                          # [N, o]
+    J = ein(J, w)                              # [N, d, o]
+    D = ein(D, w)
 
     if cfg.log_scale:
         so = jnp.exp(params["log_out_scale"]).reshape(1, 1, -1)
@@ -264,6 +295,7 @@ def field_apply_vjac(params, x, cfg: FieldConfig):
     """
     n, d = x.shape
     h = x
+    dot, ein, store = _mixed_dots(cfg, x.dtype)
     J = jnp.broadcast_to(jnp.eye(d, dtype=x.dtype)[None], (n, d, d))
 
     if cfg.log_scale:
@@ -289,8 +321,8 @@ def field_apply_vjac(params, x, cfg: FieldConfig):
     layers = params["layers"]
     for layer in layers[:-1]:
         w, b = layer["w"], layer["b"]
-        a = h @ w + b
-        Ja = jnp.einsum("nif,fg->nig", J, w)
+        a = dot(h, w) + b
+        Ja = ein(J, w)
         if cfg.siren:
             h = jnp.sin(cfg.omega * a)
             J = cfg.omega * jnp.cos(cfg.omega * a)[:, None, :] * Ja
@@ -298,11 +330,12 @@ def field_apply_vjac(params, x, cfg: FieldConfig):
             sig = jax.nn.sigmoid(a)
             h = a * sig
             J = (sig * (1.0 + a * (1.0 - sig)))[:, None, :] * Ja
+        h, J = store(h), store(J)
 
     out_layer = layers[-1]
     w, b = out_layer["w"], out_layer["b"]
-    u = h @ w + b
-    J = jnp.einsum("nif,fg->nig", J, w)
+    u = dot(h, w) + b
+    J = ein(J, w)
 
     if cfg.log_scale:
         so = jnp.exp(params["log_out_scale"]).reshape(1, 1, -1)
