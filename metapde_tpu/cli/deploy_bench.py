@@ -128,6 +128,9 @@ def run(cfg: Config, algo: str = "maml", inner_steps_list=(0, 1, 2, 5, 10, 20),
             **({"n_starts": cfg.deploy.n_starts,
                 "jitter": cfg.deploy.jitter}
                if cfg.deploy.n_starts > 1 else {}),
+            **({"deploy_optimizer": cfg.deploy.optimizer,
+                "deploy_inner_lr": cfg.deploy.inner_lr}
+               if cfg.deploy.optimizer else {}),
             "time_per_task_s": dt / cfg.task.n_eval,
             "val_mse": float(val.mse),
             "val_rel_err": float(val.rel_err),
@@ -141,7 +144,10 @@ def run(cfg: Config, algo: str = "maml", inner_steps_list=(0, 1, 2, 5, 10, 20),
         rows.append(row)
         print(json.dumps(row))
 
-    out = os.path.join(expt, "deploy_bench.jsonl")
+    # optimizer-mode rows land in their own file so the default-protocol
+    # bench of the same checkpoint is never clobbered
+    suffix = f"_{cfg.deploy.optimizer}" if cfg.deploy.optimizer else ""
+    out = os.path.join(expt, f"deploy_bench{suffix}.jsonl")
     with open(out, "w") as f:
         for r in rows:
             f.write(json.dumps(r) + "\n")

@@ -195,6 +195,18 @@ class DeployConfig:
     n_starts: int = 1    # 1 = single-start (the reference's behavior)
     jitter: float = 0.0  # relative init jitter for candidates 1.. (0 = off)
     score_points: int = 0  # points for the selection score; 0 -> task.validation_points
+    # Deployment-time adaptation optimizer. "" (default) keeps the
+    # algorithm's own rollout: MAML's learned-per-step-LR SGD
+    # (maml_pde.py:163-183) / LEAP's inner optimizer. Setting e.g. "adam"
+    # replaces the k-step rollout with k steps of that optax optimizer at
+    # deploy.inner_lr — the reference's OTHER deployment protocol (nn_pde
+    # fine-tune from a meta init, pipeline/pipeline_poisson_maml.sh),
+    # measured in deploy_bench with honest per-step timing. On families
+    # where the learned-LR stack saturates (steady_burgers: 1.2e-2 median
+    # at k=80 vs 4.1e-3 after 50 Adam steps, RESULTS.md), this is the
+    # better accuracy-vs-time Pareto frontier.
+    optimizer: str = ""
+    inner_lr: float = 1e-4  # LR for deploy.optimizer (ignored when "")
 
 
 @dataclass(frozen=True)

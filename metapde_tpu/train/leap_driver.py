@@ -143,9 +143,19 @@ def build(cfg: Config):
         )
         return final_params
 
+    # deployment path selection: LEAP's own inner-optimizer rollout above,
+    # or k steps of a fresh optimizer at deploy.inner_lr (train/deploy.py,
+    # the reference's nn_pde fine-tune protocol) when deploy.optimizer set
+    deploy_final_model = get_final_model
+    if cfg.deploy.optimizer:
+        from .deploy import make_opt_final_model
+
+        deploy_final_model = make_opt_final_model(
+            pde, loss_fn, field, cfg.task, cfg.deploy, model_is_pair=False
+        )
+
     # multi-start deployment (cfg.deploy.n_starts > 1): K vmapped rollouts,
     # keep the argmin of the self-computable total loss (train/multistart.py)
-    deploy_final_model = get_final_model
     if cfg.deploy.n_starts > 1:
         from . import multistart as ms
 
@@ -154,7 +164,7 @@ def build(cfg: Config):
             cfg.deploy.score_points or cfg.task.validation_points,
         )
         deploy_final_model = ms.wrap_get_final_model(
-            get_final_model, score_fn, cfg.deploy.n_starts,
+            deploy_final_model, score_fn, cfg.deploy.n_starts,
             jitter=cfg.deploy.jitter, jitter_fn=ms.jitter_leaves,
         )
 

@@ -207,9 +207,21 @@ def build(cfg: Config):
         )
         return final_params
 
+    # deployment path selection: the learned-LR rollout above (the MAML
+    # protocol) or, with cfg.deploy.optimizer set, k steps of a fresh
+    # first-order optimizer (the reference's fine-tune deployment protocol,
+    # train/deploy.py). Training-time validation keeps the learned-LR path
+    # unless the config says otherwise (deploy.optimizer defaults "").
+    deploy_final_model = get_final_model
+    if cfg.deploy.optimizer:
+        from .deploy import make_opt_final_model
+
+        deploy_final_model = make_opt_final_model(
+            pde, loss_fn, field, cfg.task, cfg.deploy, model_is_pair=True
+        )
+
     # multi-start deployment (cfg.deploy.n_starts > 1): K vmapped rollouts,
     # keep the argmin of the self-computable total loss (train/multistart.py)
-    deploy_final_model = get_final_model
     if cfg.deploy.n_starts > 1:
         from . import multistart as ms
 
@@ -220,7 +232,7 @@ def build(cfg: Config):
         # jitter only the model params, never the learned inner-LR pytree
         jitter_fn = lambda k, m, s: (ms.jitter_leaves(k, m[0], s), m[1])
         deploy_final_model = ms.wrap_get_final_model(
-            get_final_model, score_fn, cfg.deploy.n_starts,
+            deploy_final_model, score_fn, cfg.deploy.n_starts,
             jitter=cfg.deploy.jitter, jitter_fn=jitter_fn,
         )
 
