@@ -34,7 +34,7 @@ from ..train.validation import get_ground_truth, make_validation_fn
 
 
 def run(cfg: Config, algo: str = "maml", inner_steps_list=(0, 1, 2, 5, 10, 20),
-        repeats: int = 3):
+        repeats: int = 3, which: str = "latest"):
     driver = maml_driver if algo == "maml" else leap_driver
     c = driver.build(cfg)
     pde = c["pde"]
@@ -42,7 +42,15 @@ def run(cfg: Config, algo: str = "maml", inner_steps_list=(0, 1, 2, 5, 10, 20),
     expt = cfg.train.load_model_from_expt
     if not expt:
         raise SystemExit("--train.load_model_from_expt is required")
-    fname = ckpt.latest_checkpoint(expt)
+    # --checkpoint=best benches the best-validation state the training run
+    # tracked (checkpoints.save_best_checkpoint) — meta-training quality is
+    # not monotone in steps; falls back to latest when no best exists
+    fname = None
+    if which == "best":
+        fname = ckpt.best_checkpoint(expt)
+        if not fname:
+            print("no checkpoint_best.pickle; falling back to latest")
+    fname = fname or ckpt.latest_checkpoint(expt)
     if not fname:
         raise SystemExit(f"no checkpoint under {expt}")
     state = ckpt.load_checkpoint(fname)
@@ -63,14 +71,17 @@ def run(cfg: Config, algo: str = "maml", inner_steps_list=(0, 1, 2, 5, 10, 20),
     # cache next to the meta run (results_<family>/gt_cache), keyed on the
     # PRNG key bytes: deterministic from cfg.seed, so a CPU process can
     # pre-warm these solves for a TPU bench (see train/gt_cache.py)
-    import dataclasses as _dc
+    # Cache key = (pde.name, resolution, gt_version, task params, gt key):
+    # the task params pytree ALREADY uniquely determines the solution at a
+    # resolution, so nothing else belongs in the key. (A previous version
+    # hashed asdict(cfg.task) too, which silently invalidated every cached
+    # solve whenever TaskConfig gained an unrelated field — the round-14
+    # TPU re-benches re-solved warm gt from scratch because of it.)
     bundle = get_ground_truth(
         pde, gt_params, pts_key, cfg.task.validation_points,
         cfg.solver.ground_truth_resolution,
         cache_dir=os.path.join(os.path.dirname(expt.rstrip("/")) or ".",
                                "gt_cache"),
-        cache_extra={"deploy_seed": cfg.seed + 7919,
-                     "task": _dc.asdict(cfg.task)},
         cache_keys=gt_keys,
     )
 
@@ -123,6 +134,8 @@ def run(cfg: Config, algo: str = "maml", inner_steps_list=(0, 1, 2, 5, 10, 20),
                                                       bundle.gt_params))
         row = {
             "inner_steps": int(k),
+            "checkpoint": os.path.basename(fname),
+            "checkpoint_step": int(state.get("step", -1)),
             # multi-start deployment (train/multistart.py) composes through
             # make_coef_func; record the config so rows are self-describing
             **({"n_starts": cfg.deploy.n_starts,
@@ -157,7 +170,8 @@ def run(cfg: Config, algo: str = "maml", inner_steps_list=(0, 1, 2, 5, 10, 20),
 
 def main(argv=None):
     argv = argv if argv is not None else sys.argv[1:]
-    algo, steps_list, repeats, rest = "maml", (0, 1, 2, 5, 10, 20), 3, []
+    algo, steps_list, repeats, which, rest = (
+        "maml", (0, 1, 2, 5, 10, 20), 3, "latest", [])
     for a in argv:
         if a.startswith("--algo="):
             algo = a.split("=", 1)[1]
@@ -167,10 +181,13 @@ def main(argv=None):
             )
         elif a.startswith("--repeats="):
             repeats = int(a.split("=", 1)[1])
+        elif a.startswith("--checkpoint="):
+            which = a.split("=", 1)[1]
         else:
             rest.append(a)
     cfg = parse_overrides(Config(), rest)
-    run(cfg, algo=algo, inner_steps_list=steps_list, repeats=repeats)
+    run(cfg, algo=algo, inner_steps_list=steps_list, repeats=repeats,
+        which=which)
 
 
 if __name__ == "__main__":

@@ -48,6 +48,44 @@ def load_checkpoint(fname: str) -> dict:
         return pickle.load(f)
 
 
+BEST_NAME = "checkpoint_best.pickle"
+
+
+def save_best_checkpoint(path: str, step: int, metric: float, state: dict):
+    """Write/overwrite checkpoint_best.pickle when `metric` improves.
+
+    Meta-training quality is NOT monotone in steps (measured: the em5
+    elasticity run's deployment error regressed 9.3e-3 -> 1.9e-2 between
+    200k and 270k steps on identical eval tasks while training continued
+    healthily — RESULTS.md round-2 'checkpoint selection'). The reference
+    resolves this in post-hoc analysis (min-MSE per expt over the logged
+    curve, resultAnalysis.ipynb cells 4-24); tracking the best-validation
+    checkpoint during training makes that selection durable instead of
+    post-hoc. Returns the filename when written, else None."""
+    fname = os.path.join(path, BEST_NAME)
+    prev = None
+    if os.path.exists(fname):
+        try:
+            with open(fname, "rb") as f:
+                prev = pickle.load(f).get("best_metric")
+        except Exception:
+            prev = None
+    if prev is not None and not (metric < prev):
+        return None
+    with open(fname, "wb") as f:
+        pickle.dump({"step": step, "best_metric": float(metric),
+                     **_to_host(state)}, f,
+                    protocol=pickle.HIGHEST_PROTOCOL)
+    return fname
+
+
+def best_checkpoint(path: str) -> Optional[str]:
+    """checkpoint_best.pickle if present (for deploy benches; resume must
+    keep using latest_checkpoint or training would rewind)."""
+    fname = os.path.join(path, BEST_NAME)
+    return fname if os.path.exists(fname) else None
+
+
 def config_drift(expt_dir: str, cfg, sections=("task", "model", "solver")):
     """Diff the current run's config against the loaded run's config.json.
 

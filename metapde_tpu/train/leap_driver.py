@@ -247,7 +247,9 @@ def run(cfg: Config):
         cfg.solver.ground_truth_resolution,
         cache_dir=(os.path.join(cfg.train.out_dir, "gt_cache")
                    if cfg.train.out_dir else None),
-        cache_extra={"task": dataclasses.asdict(cfg.task)},
+        # key = (pde, resolution, gt_version, params, gt key) — params
+        # already determine the solution; hashing asdict(cfg.task) here
+        # used to invalidate every cache whenever TaskConfig grew a field
         cache_keys=gt_keys,
     )
     validation_fn = make_validation_fn(
@@ -336,6 +338,12 @@ def run(cfg: Config):
                     step_time=step_time,
                     per_step_losses=np.mean(np.asarray(losses), axis=0),
                 )
+            if path is not None:
+                # best-val state stays durable (quality is not monotone in
+                # steps — see checkpoints.save_best_checkpoint)
+                ckpt.save_best_checkpoint(path, log_step, float(val.rel_err), {
+                    "params": params, "opt_state": opt_state, "prng_key": key,
+                })
 
         if path is not None and step > 1 and hit(cfg.train.checkpoint_every):
             ckpt.save_checkpoint(path, log_step, {

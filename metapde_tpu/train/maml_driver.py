@@ -360,7 +360,9 @@ def run(cfg: Config):
         cfg.solver.ground_truth_resolution,
         cache_dir=(os.path.join(cfg.train.out_dir, "gt_cache")
                    if cfg.train.out_dir else None),
-        cache_extra={"task": dataclasses.asdict(cfg.task)},
+        # key = (pde, resolution, gt_version, params, gt key) — params
+        # already determine the solution; hashing asdict(cfg.task) here
+        # used to invalidate every cache whenever TaskConfig grew a field
         cache_keys=gt_keys,
     )
 
@@ -473,6 +475,15 @@ def run(cfg: Config):
                     step_time=step_time,
                     per_step_losses=np.mean(np.asarray(losses), axis=0),
                 )
+            if path is not None:
+                # meta-training quality is not monotone in steps (measured
+                # em5 regression, RESULTS.md); keep the best-val state
+                # durable. save_best_checkpoint no-ops unless improved.
+                ckpt.save_best_checkpoint(path, log_step, float(val.rel_err), {
+                    "params": params, "inner_lrs": inner_lrs,
+                    "opt_state": opt_state, "lr_opt_state": lr_opt_state,
+                    "prng_key": key,
+                })
 
         if path is not None and hit(cfg.train.viz_every):
             _render_viz(path, cfg, pde, c, (params, inner_lrs), bundle,

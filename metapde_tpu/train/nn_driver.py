@@ -266,7 +266,9 @@ def run(cfg: Config, maml_warmup: bool = False):
         cfg.solver.ground_truth_resolution,
         cache_dir=(os.path.join(cfg.train.out_dir, "gt_cache")
                    if cfg.train.out_dir else None),
-        cache_extra={"task": dataclasses.asdict(cfg.task)},
+        # key = (pde, resolution, gt_version, params, gt key) — params
+        # already determine the solution; hashing asdict(cfg.task) here
+        # used to invalidate every cache whenever TaskConfig grew a field
         cache_keys=gt_keys,
     )
     validation_fn = make_validation_fn(
@@ -398,6 +400,14 @@ def run(cfg: Config, maml_warmup: bool = False):
                     step_time=step_time,
                     **{k: fin(v) for k, v in row_aux.items()},
                     **extra,
+                )
+            if path is not None:
+                # best-val state stays durable (quality is not monotone in
+                # steps); under multi-start val_params is already the
+                # selection-best candidate, so save exactly what was scored
+                ckpt.save_best_checkpoint(
+                    path, log_step, float(val.rel_err),
+                    {"params": val_params, "prng_key": key},
                 )
 
         if hit(cfg.train.measure_grad_norm_every) and n_starts == 1:

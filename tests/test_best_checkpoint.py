@@ -1,0 +1,66 @@
+"""Best-validation checkpoint tracking (checkpoints.save_best_checkpoint).
+
+Motivated by a measured incident: the em5 elasticity run's deployment
+error regressed 9.3e-3 -> 1.9e-2 between 200k and 270k steps on identical
+eval tasks (RESULTS.md round-2 'checkpoint selection') — meta-training
+quality is not monotone, and the reference's own analysis takes min-MSE
+over the training curve (resultAnalysis.ipynb cells 4-24)."""
+
+import pickle
+
+import jax
+import numpy as np
+
+from metapde_tpu.train import checkpoints as ckpt
+
+
+def test_save_best_only_improves(tmp_path):
+    p = str(tmp_path)
+    state = {"params": {"w": np.ones(3)}}
+    assert ckpt.save_best_checkpoint(p, 10, 0.5, state) is not None
+    # worse metric: no overwrite
+    assert ckpt.save_best_checkpoint(p, 20, 0.7, state) is None
+    with open(ckpt.best_checkpoint(p), "rb") as f:
+        d = pickle.load(f)
+    assert d["step"] == 10 and d["best_metric"] == 0.5
+    # better metric: overwrite
+    assert ckpt.save_best_checkpoint(p, 30, 0.4, state) is not None
+    with open(ckpt.best_checkpoint(p), "rb") as f:
+        d = pickle.load(f)
+    assert d["step"] == 30 and d["best_metric"] == 0.4
+
+
+def test_best_checkpoint_invisible_to_latest(tmp_path):
+    p = str(tmp_path)
+    ckpt.save_best_checkpoint(p, 10, 0.5, {"params": {"w": np.ones(2)}})
+    # resume must keep using numbered checkpoints only
+    assert ckpt.latest_checkpoint(p) is None
+    ckpt.save_checkpoint(p, 12, {"params": {"w": np.ones(2)}})
+    assert ckpt.latest_checkpoint(p).endswith("checkpoint_step_12.pickle")
+    assert ckpt.best_checkpoint(p).endswith(ckpt.BEST_NAME)
+
+
+def test_driver_tracks_best(tmp_path):
+    from metapde_tpu.config import (
+        Config, FieldConfig, MamlConfig, SolverConfig, TaskConfig,
+        TrainConfig,
+    )
+    from metapde_tpu.train import maml_driver
+
+    cfg = Config(
+        task=TaskConfig(pde="poisson", inner_points=64, outer_points=64,
+                        validation_points=64, n_eval=2),
+        model=FieldConfig(num_layers=2, layer_size=32),
+        maml=MamlConfig(bsize=2, inner_steps=2),
+        solver=SolverConfig(ground_truth_resolution=4),
+        train=TrainConfig(outer_steps=3, log_every=1, viz_every=0,
+                          checkpoint_every=0, out_dir=str(tmp_path),
+                          expt_name="best_track"),
+    )
+    maml_driver.run(cfg)
+    best = ckpt.best_checkpoint(str(tmp_path / "best_track"))
+    assert best is not None
+    with open(best, "rb") as f:
+        d = pickle.load(f)
+    assert np.isfinite(d["best_metric"])
+    assert "params" in d and "inner_lrs" in d
