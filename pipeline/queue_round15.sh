@@ -55,6 +55,30 @@ if [ -n "${D:-}" ]; then
 fi
 bash pipeline/commit_ckpts.sh "sb3 adam-deploy benches @60k"
 
+# ---- stage B2: em5@200k TPU deploy bench ---------------------------------
+# the CPU A/B (RESULTS.md round-2 checkpoint-selection section) showed the
+# em5 trajectory regressed after 200k; the 200k checkpoint is the
+# best-known elasticity MAML init, so its TPU-timed rows are the headline
+ELAS_BENCH_ARGS=(
+  --task.pde=hyper_elasticity
+  --task.domain.xmin=0.0 --task.domain.ymin=0.0
+  --task.max_holes=5 --task.max_hole_size=1.0
+  --task.vary_source=false --task.vary_bc=false
+  --task.bc_weight=100.0
+  --task.inner_points=1024 --task.outer_points=1024 --task.validation_points=1024
+  --task.n_eval=8
+  --solver.ground_truth_resolution=48
+  --model.num_layers=8 --model.layer_size=64 --model.omega=30 --model.omega0=30
+  --maml.bsize=8 --maml.inner_steps=5 --maml.inner_lr=1e-5 --maml.outer_lr=1e-5
+  --maml.grad_clip=100 --maml.inner_grad_clip=100
+  --train.optimizer=adam
+)
+echo "queue15: em5@200k deploy bench (TPU) at $(date)"
+timeout 5400 python -m metapde_tpu.cli.deploy_bench --algo=maml \
+  "${ELAS_BENCH_ARGS[@]}" --inner-steps-list=0,1,2,5 \
+  --train.load_model_from_expt=results_elasticity_maml/em5
+bash pipeline/commit_ckpts.sh "em5@200k TPU deploy bench"
+
 # ---- stage C: bf16 vs f32 accuracy probe (10k-step flagship trainings) --
 PO_ARGS=(
   --task.pde=poisson
@@ -95,6 +119,10 @@ if [ -n "${D:-}" ]; then
   timeout 5400 python -m metapde_tpu.cli.deploy_bench --algo=maml \
     "${SB_ARGS[@]}" --inner-steps-list=0,1,2,5,10,20,40,80 \
     --train.load_model_from_expt="$D"
+  echo "queue15: sb3 k-sweep bench (TPU, best ckpt) on $D at $(date)"
+  timeout 5400 python -m metapde_tpu.cli.deploy_bench --algo=maml \
+    "${SB_ARGS[@]}" --inner-steps-list=0,1,2,5,10,20,40,80 \
+    --checkpoint=best --train.load_model_from_expt="$D"
   echo "queue15: sb3 adam-deploy bench on continued $D at $(date)"
   timeout 5400 python -m metapde_tpu.cli.deploy_bench --algo=maml \
     "${SB_ARGS[@]}" --inner-steps-list=0,5,20,50,100 \
@@ -175,26 +203,12 @@ bash pipeline/supervise.sh results_elasticity_maml em5 60 900 -- \
     --train.out_dir=results_elasticity_maml --train.expt_name=em5
 bash pipeline/commit_ckpts.sh "em5 500k checkpoint"
 
-ELAS_BENCH_ARGS=(
-  --task.pde=hyper_elasticity
-  --task.domain.xmin=0.0 --task.domain.ymin=0.0
-  --task.max_holes=5 --task.max_hole_size=1.0
-  --task.vary_source=false --task.vary_bc=false
-  --task.bc_weight=100.0
-  --task.inner_points=1024 --task.outer_points=1024 --task.validation_points=1024
-  --task.n_eval=8
-  --solver.ground_truth_resolution=48
-  --model.num_layers=8 --model.layer_size=64 --model.omega=30 --model.omega0=30
-  --maml.bsize=8 --maml.inner_steps=5 --maml.inner_lr=1e-5 --maml.outer_lr=1e-5
-  --maml.grad_clip=100 --maml.inner_grad_clip=100
-  --train.optimizer=adam
-)
 D=$(newest_ckpt_dir results_elasticity_maml em5)
 if [ -n "${D:-}" ]; then
-  echo "queue15: em5 FINAL deploy bench (TPU) on $D at $(date)"
+  echo "queue15: em5 FINAL deploy bench (TPU, best ckpt) on $D at $(date)"
   timeout 5400 python -m metapde_tpu.cli.deploy_bench --algo=maml \
     "${ELAS_BENCH_ARGS[@]}" --inner-steps-list=0,1,2,5 \
-    --train.load_model_from_expt="$D"
+    --checkpoint=best --train.load_model_from_expt="$D"
 fi
 bash pipeline/commit_ckpts.sh "queue15: em5 final bench"
 
@@ -224,10 +238,10 @@ bash pipeline/commit_ckpts.sh "td_burgers 500k checkpoint"
 
 D=$(newest_ckpt_dir results_burgers_maml tpu_run1)
 if [ -n "${D:-}" ]; then
-  echo "queue15: td_burgers FINAL deploy bench (TPU) on $D at $(date)"
+  echo "queue15: td_burgers FINAL deploy bench (TPU, best ckpt) on $D at $(date)"
   timeout 5400 python -m metapde_tpu.cli.deploy_bench --algo=maml \
     "${BURGERS_ARGS[@]}" --task.n_eval=8 --inner-steps-list=0,1,2,5 \
-    --train.load_model_from_expt="$D"
+    --checkpoint=best --train.load_model_from_expt="$D"
 fi
 
 bash pipeline/commit_ckpts.sh "queue15 final artifacts"
