@@ -350,7 +350,10 @@ def run(cfg: Config, maml_warmup: bool = False):
             every > 0 and (log_step % every == 0 if spc == 1
                            else step % every == 0)
         )
-        if hit(cfg.train.log_every):
+        # validation cadence: val_every when set, else log_every (val_every
+        # was previously dead config; denser validation also densifies
+        # best-checkpoint tracking)
+        if hit(cfg.train.val_every or cfg.train.log_every):
             key, sk = jax.random.split(key)
             val_params, best_idx, scores = _current_best(sk)
             val = validation_fn(
