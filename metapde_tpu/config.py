@@ -216,7 +216,10 @@ class TrainConfig:
     outer_steps: int = 100_000_000
     optimizer: str = "adam"       # adam | rmsprop | ranger | sgd
     log_every: int = 500
-    val_every: int = 100
+    # validation cadence; 0 (default) = validate at log_every. Setting it
+    # denser than log_every densifies the val curve and best-checkpoint
+    # tracking at the cost of one extra validation per hit.
+    val_every: int = 0
     viz_every: int = 10_000
     measure_grad_norm_every: int = 1000
     out_dir: Optional[str] = None

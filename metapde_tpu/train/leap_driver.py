@@ -302,7 +302,10 @@ def run(cfg: Config):
             every > 0 and (log_step % every == 0 if spc == 1
                            else step % every == 0)
         )
-        if hit(cfg.train.log_every):
+        # val_every, when set, overrides log_every for this whole block
+        # (validation + log line + metrics + best-checkpoint tracking);
+        # 0 = ride log_every.
+        if hit(cfg.train.val_every or cfg.train.log_every):
             with Timer() as deploy_timer:
                 val = validation_fn(
                     params, bundle.gt_params, bundle.coords, bundle.gt_vals

@@ -433,7 +433,11 @@ def run(cfg: Config):
             every > 0 and (log_step % every == 0 if spc == 1
                            else step % every == 0)
         )
-        if hit(cfg.train.log_every):
+        # val_every, when set, overrides log_every for this whole block
+        # (validation + log line + metrics + best-checkpoint tracking);
+        # 0 = ride log_every. Denser validation densifies best-checkpoint
+        # tracking at ~one extra deploy rollout per hit.
+        if hit(cfg.train.val_every or cfg.train.log_every):
             with Timer() as deploy_timer:
                 val = validation_fn(
                     (params, inner_lrs), bundle.gt_params, bundle.coords,
