@@ -28,7 +28,8 @@ from ..pdes import get_pde
 
 def run(cfg: Config, resolutions, ref_resolution: int, n_tasks: int = 4,
         n_points: int = 1024, seed: int = 0, per_task: bool = False,
-        warm_chain: bool = False, task_index: int = None):
+        warm_chain: bool = False, chain_down: bool = False,
+        task_index: int = None):
     pde = get_pde(cfg.task)
     keys = jax.random.split(jax.random.PRNGKey(seed), n_tasks)
     tasks = [pde.sample_params(k) for k in keys]
@@ -38,12 +39,12 @@ def run(cfg: Config, resolutions, ref_resolution: int, n_tasks: int = 4,
         # the full n_tasks sweep so rows are comparable
         tasks = [tasks[task_index]]
 
-    if warm_chain:
+    if warm_chain or chain_down:
         if pde.solve_warm is None:
             raise SystemExit(
                 f"--warm_chain: {cfg.task.pde} has no solve_warm")
         return _run_warm_chain(cfg, pde, tasks, resolutions, ref_resolution,
-                               n_points, per_task)
+                               n_points, per_task, down=chain_down)
 
     # reference solves + shared validation points
     solve_ref = pde.solve_ref or pde.solve
@@ -117,25 +118,49 @@ def run(cfg: Config, resolutions, ref_resolution: int, n_tasks: int = 4,
 
 
 def _run_warm_chain(cfg, pde, tasks, resolutions, ref_resolution,
-                    n_points, per_task):
-    """Task-major branch-tracked sweep: each task is solved coarse -> fine
-    -> reference, every solve warm-started from the previous one
-    (pde.solve_warm), so the whole resolution chain sits on ONE energy
-    branch. Separates genuine discretization error from branch drift on
-    PDEs with non-unique minimizers (near-limit pore lattices)."""
+                    n_points, per_task, down=False):
+    """Task-major branch-tracked sweep: each solve is warm-started from a
+    neighbouring resolution's solution of the same task (pde.solve_warm),
+    so the chain sits on ONE energy branch. Separates genuine
+    discretization error from branch drift on PDEs with non-unique
+    minimizers (near-limit pore lattices).
+
+    down=False (upward): coarse -> fine -> reference, seeded by the coarse
+    from-scratch solve. down=True (downward): the f64 reference solves
+    from scratch FIRST, then the chain descends fine -> coarse seeded on
+    the REFERENCE branch — the branch-consistent protocol. The two
+    disagree exactly when the from-scratch branch depends on resolution:
+    measured on the hole-1.0 near-limit task 7 (seed 0, index 7), the
+    upward chain reads rel_mse ~0.53 at every resolution (pure branch
+    mismatch vs the ref's lower-energy branch) while the downward chain
+    reads 6.5e-3 @ res 96 and 8.5e-4 @ res 144 — true discretization
+    error, convergent (baselines/hyper_elasticity/task7_branch_diagnosis.log).
+    Below ~res 96 the ligament-floored lattice cannot hold the low-energy
+    branch at all (eff-69 relaxes away even when warm-started on it)."""
     res_order = sorted(resolutions)
     acc = {r: [0.0, 0.0, 0.0] for r in res_order}  # num, den, dt
 
     for i, params in enumerate(tasks):
-        sols, prev = [], None
-        for res in res_order:
-            t0 = time.perf_counter()
-            gt = jax.block_until_ready(pde.solve_warm(params, res, prev))
-            dt = time.perf_counter() - t0
-            sols.append((res, gt, dt))
-            prev = gt
-        ref = jax.block_until_ready(
-            pde.solve_warm(params, ref_resolution, prev, ref=True))
+        if down:
+            ref = jax.block_until_ready(
+                pde.solve_warm(params, ref_resolution, None, ref=True))
+            sols, prev = [], ref
+            for res in sorted(res_order, reverse=True):
+                t0 = time.perf_counter()
+                gt = jax.block_until_ready(pde.solve_warm(params, res, prev))
+                dt = time.perf_counter() - t0
+                sols.append((res, gt, dt))
+                prev = gt
+        else:
+            sols, prev = [], None
+            for res in res_order:
+                t0 = time.perf_counter()
+                gt = jax.block_until_ready(pde.solve_warm(params, res, prev))
+                dt = time.perf_counter() - t0
+                sols.append((res, gt, dt))
+                prev = gt
+            ref = jax.block_until_ready(
+                pde.solve_warm(params, ref_resolution, prev, ref=True))
         p = pde.sample_validation_points(
             jax.random.PRNGKey(1000 + i), n_points, params, ref)
         rv = jax.vmap(lambda x: pde.evaluate_gt(ref, x))(p)
@@ -150,6 +175,8 @@ def _run_warm_chain(cfg, pde, tasks, resolutions, ref_resolution,
                 row_t = {"resolution": res, "task": i,
                          "rel_mse": num_i / max(den_i, 1e-30),
                          "warm_chain": True}
+                if down:
+                    row_t["chain_down"] = True
                 if pde.effective_resolution is not None:
                     row_t["effective_resolution"] = int(
                         pde.effective_resolution(params, res))
@@ -166,15 +193,20 @@ def _run_warm_chain(cfg, pde, tasks, resolutions, ref_resolution,
         num, den, dt = acc[res]
         row = {"resolution": res, "rel_mse": num / max(den, 1e-30),
                "time_per_solve_s": dt / len(tasks), "warm_chain": True}
+        if down:
+            row["chain_down"] = True
         rows.append(row)
         print(json.dumps(row), flush=True)
-    print(json.dumps({
+    summary = {
         "pde": cfg.task.pde, "ref_resolution": ref_resolution,
         "n_tasks": len(tasks), "n_points": n_points, "warm_chain": True,
         "rel_mse_by_resolution": {
             str(r["resolution"]): r["rel_mse"] for r in rows
         },
-    }), flush=True)
+    }
+    if down:
+        summary["chain_down"] = True
+    print(json.dumps(summary), flush=True)
     return rows
 
 
@@ -185,6 +217,7 @@ def main(argv=None):
     n_tasks, n_points, seed = 4, 1024, 0
     per_task = False
     warm_chain = False
+    chain_down = False
     task_index = None
     passthrough = []
     for a in argv:
@@ -192,6 +225,8 @@ def main(argv=None):
             per_task = True
         elif a == "--warm_chain":
             warm_chain = True
+        elif a == "--chain_down":
+            chain_down = True
         elif a.startswith("--resolutions="):
             resolutions = [int(x) for x in a.split("=", 1)[1].split(",")]
         elif a.startswith("--ref_resolution="):
@@ -208,7 +243,8 @@ def main(argv=None):
             passthrough.append(a)
     cfg = parse_overrides(Config(), passthrough)
     run(cfg, resolutions, ref_resolution, n_tasks, n_points, seed,
-        per_task=per_task, warm_chain=warm_chain, task_index=task_index)
+        per_task=per_task, warm_chain=warm_chain, chain_down=chain_down,
+        task_index=task_index)
 
 
 if __name__ == "__main__":
