@@ -31,10 +31,31 @@ from ..config import Config, parse_overrides
 from ..train import checkpoints as ckpt
 from ..train import leap_driver, maml_driver
 from ..train.validation import get_ground_truth, make_validation_fn
+from ..utils.trees import tree_unstack
+
+
+def _domain_energy(pde, field_fn, points, task_params):
+    """Sum of the domain loss terms (for hyperelasticity: the MC neo-Hookean
+    energy) — the branch-mismatch diagnostic quantity."""
+    _, dom = pde.loss_fn(field_fn, points, task_params)
+    return float(sum(jnp.asarray(v) for v in dom.values()))
+
+
+def _gt_field(pde, gt):
+    """Wrap a ground-truth pytree as a batched field callable so it can be
+    scored through the same MC loss estimator as the model (apples-to-apples;
+    a P1-interpolated field carries estimator bias near kinks, so compare
+    fields through ONE estimator, never MC-vs-FEM-quadrature)."""
+    def f(x):
+        x = jnp.asarray(x)
+        if x.ndim == 1:
+            return pde.evaluate_gt(gt, x)
+        return jax.vmap(lambda xi: pde.evaluate_gt(gt, xi))(x)
+    return f
 
 
 def run(cfg: Config, algo: str = "maml", inner_steps_list=(0, 1, 2, 5, 10, 20),
-        repeats: int = 3, which: str = "latest"):
+        repeats: int = 3, which: str = "latest", energy_audit: bool = False):
     driver = maml_driver if algo == "maml" else leap_driver
     c = driver.build(cfg)
     pde = c["pde"]
@@ -112,6 +133,25 @@ def run(cfg: Config, algo: str = "maml", inner_steps_list=(0, 1, 2, 5, 10, 20),
 
         return self_losses
 
+    # --energy_audit: per-task MC domain energy of the oracle field, shared
+    # points per task. A deployed model whose energy is AT OR BELOW the
+    # oracle's through the same estimator while val_rel_err stays large is
+    # on a different legitimate solution branch (post-buckling
+    # multistability), not under-optimized — measured on the seed-1
+    # elasticity tail (RESULTS.md round-2 branch non-identifiability).
+    audit_pts, oracle_E = None, None
+    if energy_audit:
+        gt_params_list = tree_unstack(bundle.gt_params)
+        audit_pts = [
+            pde.sample_points(jax.random.PRNGKey(31 + i),
+                              cfg.task.validation_points, tp)
+            for i, tp in enumerate(gt_params_list)
+        ]
+        oracle_E = [
+            _domain_energy(pde, _gt_field(pde, g), p, tp)
+            for g, p, tp in zip(bundle.gts, audit_pts, gt_params_list)
+        ]
+
     rows = []
     for k in inner_steps_list:
         val_fn = make_validation_fn(
@@ -132,6 +172,24 @@ def run(cfg: Config, algo: str = "maml", inner_steps_list=(0, 1, 2, 5, 10, 20),
         dt = (time.perf_counter() - t0) / repeats
         self_losses = np.asarray(make_self_loss_fn(k)(model,
                                                       bundle.gt_params))
+        audit_cols = {}
+        if energy_audit:
+            keys_a = jax.random.split(jax.random.PRNGKey(0), cfg.task.n_eval)
+            model_E = []
+            for i, (tp, p) in enumerate(zip(tree_unstack(bundle.gt_params),
+                                            audit_pts)):
+                fp = c["deploy_final_model"](keys_a[i], model, tp, int(k))
+                model_E.append(
+                    _domain_energy(pde, c["field"].bind(fp), p, tp))
+            audit_cols = {
+                "model_energy": model_E,
+                "oracle_energy_mc": oracle_E,
+                # tasks where the model matches/beats the oracle's sampled
+                # energy (within 2%): rel_err there measures branch
+                # disagreement, not solution quality
+                "energy_parity_tasks": int(sum(
+                    m <= o * 1.02 for m, o in zip(model_E, oracle_E))),
+            }
         row = {
             "inner_steps": int(k),
             "checkpoint": os.path.basename(fname),
@@ -153,6 +211,7 @@ def run(cfg: Config, algo: str = "maml", inner_steps_list=(0, 1, 2, 5, 10, 20),
             "self_loss_mean": float(np.mean(self_losses)),
             "self_loss_median": float(np.median(self_losses)),
             "self_loss_max": float(np.max(self_losses)),
+            **audit_cols,
         }
         rows.append(row)
         print(json.dumps(row))
@@ -172,6 +231,7 @@ def main(argv=None):
     argv = argv if argv is not None else sys.argv[1:]
     algo, steps_list, repeats, which, rest = (
         "maml", (0, 1, 2, 5, 10, 20), 3, "latest", [])
+    energy_audit = False
     for a in argv:
         if a.startswith("--algo="):
             algo = a.split("=", 1)[1]
@@ -183,11 +243,13 @@ def main(argv=None):
             repeats = int(a.split("=", 1)[1])
         elif a.startswith("--checkpoint="):
             which = a.split("=", 1)[1]
+        elif a == "--energy_audit":
+            energy_audit = True
         else:
             rest.append(a)
     cfg = parse_overrides(Config(), rest)
     run(cfg, algo=algo, inner_steps_list=steps_list, repeats=repeats,
-        which=which)
+        which=which, energy_audit=energy_audit)
 
 
 if __name__ == "__main__":
