@@ -203,8 +203,21 @@ def main():
         task=TaskConfig(
             pde="poisson", inner_points=1024, outer_points=1024,
             validation_points=1024, n_eval=8, bc_weight=1.0,
+            # sort-free with-replacement point draws: the reference samples
+            # n of 3n candidates WITHOUT replacement (poisson_common.py:118,
+            # replace=False), whose jit lowering is a full sort per loss
+            # call that dominated the step (RESULTS.md perf-study: 2.33x).
+            # Distributional equivalence: tests/test_fast_sampler.py;
+            # end-to-end accuracy parity at 10k steps: probe10k_fast
+            # 1.53e-2 vs f32 control (RESULTS.md round-2 probe table).
+            sample_with_replacement=True,
         ),
-        model=FieldConfig(num_layers=3, layer_size=64, omega=30.0, omega0=30.0),
+        model=FieldConfig(num_layers=3, layer_size=64, omega=30.0, omega0=30.0,
+                          # bf16-stored carried tensors, f32 accumulate +
+                          # master params: +10% on top of the fast sampler
+                          # (2.57x combined); accuracy parity probe
+                          # probe10k_fast_bf16 1.51e-2 (best of the panel)
+                          compute_dtype="bfloat16"),
         maml=MamlConfig(
             bsize=16, inner_steps=5, inner_lr=1e-4, outer_lr=1e-5,
             inner_grad_clip=100.0, grad_clip=100.0,
