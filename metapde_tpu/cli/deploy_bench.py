@@ -216,9 +216,12 @@ def run(cfg: Config, algo: str = "maml", inner_steps_list=(0, 1, 2, 5, 10, 20),
         rows.append(row)
         print(json.dumps(row))
 
-    # optimizer-mode rows land in their own file so the default-protocol
-    # bench of the same checkpoint is never clobbered
+    # optimizer-mode and best-checkpoint rows land in their own files so
+    # the default-protocol bench of the same checkpoint is never clobbered
+    # (a best-ckpt run overwrote a latest-ckpt k-sweep before this suffix)
     suffix = f"_{cfg.deploy.optimizer}" if cfg.deploy.optimizer else ""
+    if which == "best":
+        suffix += "_best"
     out = os.path.join(expt, f"deploy_bench{suffix}.jsonl")
     with open(out, "w") as f:
         for r in rows:
