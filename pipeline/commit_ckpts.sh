@@ -27,9 +27,16 @@ for fam in results_*/; do
     if ! git ls-files --error-unmatch "$newest" >/dev/null 2>&1; then
       git add -f "$newest" && added+=("$newest")
     fi
+    # best-val weights are as durable-worthy as the newest step
+    # (meta-training quality is not monotone in steps, RESULTS.md)
+    if [ -f "${d}checkpoint_best.pickle" ]; then
+      git add -f "${d}checkpoint_best.pickle" \
+        && added+=("${d}checkpoint_best.pickle")
+    fi
     # -f: run metadata inside gitignored dirs (e.g. gtwarm*/) must still
     # become durable, not just dirs covered by the gitignore whitelist
-    for meta in config.json metrics.jsonl log.txt deploy_bench.jsonl; do
+    for meta in config.json metrics.jsonl log.txt deploy_bench.jsonl \
+        deploy_bench_best.jsonl deploy_bench_adam.jsonl; do
       [ -f "$d$meta" ] && git add -f "$d$meta" && added+=("$d$meta")
     done
   done
