@@ -31,8 +31,8 @@ python -m metapde_tpu.cli.paper_plots --out=figures \
 python -m metapde_tpu.cli.paper_plots --out=figures \
   --title="Hyperelasticity: accuracy vs wall time per task" --name=pareto_elasticity \
   --baseline=baselines/hyper_elasticity \
-  --deploy=MAML:results_elasticity_maml/tpu_run1/deploy_bench.jsonl \
-  --deploy=LEAP:results_elasticity_leap/lde1/deploy_bench.jsonl \
+  --deploy=MAML:results_elasticity_maml/em5/deploy_bench.jsonl \
+  --deploy=LEAP:results_elasticity_leap/lde1_1/deploy_bench.jsonl \
   --finetune="MAML fine-tune (CPU):results_elasticity_deploy/deploy_maml_seed_*" \
   --finetune="LEAP fine-tune (CPU):results_elasticity_deploy/deploy_leap_seed_*" \
   --ref-point="ref FEM res (8,12):20.6:9.1e-4" \
@@ -41,5 +41,5 @@ python -m metapde_tpu.cli.paper_plots --out=figures \
 python -m metapde_tpu.cli.paper_plots --out=figures \
   --title="Steady Burgers (net-new): accuracy vs wall time per task" \
   --name=pareto_steady_burgers \
-  --deploy=MAML:results_sburgers_maml/tpu_run2/deploy_bench.jsonl \
+  --deploy=MAML:results_sburgers_maml/sb3_1/deploy_bench_latest300k.jsonl \
   --finetune="MAML fine-tune (CPU):results_sburgers_deploy/deploy_maml_seed_*"
