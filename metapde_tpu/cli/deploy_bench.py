@@ -67,8 +67,10 @@ def run(cfg: Config, algo: str = "maml", inner_steps_list=(0, 1, 2, 5, 10, 20),
     # tracked (checkpoints.save_best_checkpoint) — meta-training quality is
     # not monotone in steps; falls back to latest when no best exists
     fname = None
+    resolved_best = False
     if which == "best":
         fname = ckpt.best_checkpoint(expt)
+        resolved_best = fname is not None
         if not fname:
             print("no checkpoint_best.pickle; falling back to latest")
     fname = fname or ckpt.latest_checkpoint(expt)
@@ -91,18 +93,21 @@ def run(cfg: Config, algo: str = "maml", inner_steps_list=(0, 1, 2, 5, 10, 20),
     gt_params = jax.vmap(pde.sample_params)(gt_keys)
     # cache next to the meta run (results_<family>/gt_cache), keyed on the
     # PRNG key bytes: deterministic from cfg.seed, so a CPU process can
-    # pre-warm these solves for a TPU bench (see train/gt_cache.py)
-    # Cache key = (pde.name, resolution, gt_version, task params, gt key):
-    # the task params pytree ALREADY uniquely determines the solution at a
-    # resolution, so nothing else belongs in the key. (A previous version
-    # hashed asdict(cfg.task) too, which silently invalidated every cached
-    # solve whenever TaskConfig gained an unrelated field — the round-14
-    # TPU re-benches re-solved warm gt from scratch because of it.)
+    # pre-warm these solves for a TPU bench (see train/gt_cache.py).
+    # The key bytes pin WHICH task key was drawn but NOT what
+    # sample_params/solve make of it — that depends on gt-affecting
+    # TaskConfig fields (max_reynolds, burgers_gt_solver, vary_*, ...), and
+    # this family-level cache dir is shared across experiments, so those
+    # fields must enter the key too (gt_cache.task_cache_extra; only
+    # non-default fields are hashed, so growing TaskConfig still never
+    # invalidates existing caches — the round-14 incident).
+    from ..train.gt_cache import task_cache_extra
     bundle = get_ground_truth(
         pde, gt_params, pts_key, cfg.task.validation_points,
         cfg.solver.ground_truth_resolution,
         cache_dir=os.path.join(os.path.dirname(expt.rstrip("/")) or ".",
                                "gt_cache"),
+        cache_extra=task_cache_extra(cfg.task),
         cache_keys=gt_keys,
     )
 
@@ -220,7 +225,10 @@ def run(cfg: Config, algo: str = "maml", inner_steps_list=(0, 1, 2, 5, 10, 20),
     # the default-protocol bench of the same checkpoint is never clobbered
     # (a best-ckpt run overwrote a latest-ckpt k-sweep before this suffix)
     suffix = f"_{cfg.deploy.optimizer}" if cfg.deploy.optimizer else ""
-    if which == "best":
+    # suffix keyed on the checkpoint actually benched, not the requested
+    # one: a --checkpoint=best run that fell back to latest must not write
+    # latest-checkpoint rows into deploy_bench_best.jsonl (ADVICE r2)
+    if resolved_best:
         suffix += "_best"
     out = os.path.join(expt, f"deploy_bench{suffix}.jsonl")
     with open(out, "w") as f:

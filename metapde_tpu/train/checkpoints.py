@@ -50,6 +50,10 @@ def load_checkpoint(fname: str) -> dict:
 
 BEST_NAME = "checkpoint_best.pickle"
 
+# per-path cache of the current best metric so tracking does not unpickle
+# the full (~MB) best checkpoint on every validation hit
+_BEST_METRIC_CACHE = {}
+
 
 def save_best_checkpoint(path: str, step: int, metric: float, state: dict):
     """Write/overwrite checkpoint_best.pickle when `metric` improves.
@@ -61,21 +65,31 @@ def save_best_checkpoint(path: str, step: int, metric: float, state: dict):
     resolves this in post-hoc analysis (min-MSE per expt over the logged
     curve, resultAnalysis.ipynb cells 4-24); tracking the best-validation
     checkpoint during training makes that selection durable instead of
-    post-hoc. Returns the filename when written, else None."""
+    post-hoc. Non-finite metrics are never tracked (a NaN first validation
+    used to poison the file permanently: not (x < nan) is always True).
+    Returns the filename when written, else None."""
+    import math
+
+    if not math.isfinite(metric):
+        return None
     fname = os.path.join(path, BEST_NAME)
-    prev = None
-    if os.path.exists(fname):
+    prev = _BEST_METRIC_CACHE.get(fname)
+    if prev is None and os.path.exists(fname):
         try:
             with open(fname, "rb") as f:
                 prev = pickle.load(f).get("best_metric")
         except Exception:
             prev = None
+        if prev is not None and not math.isfinite(prev):
+            prev = None  # stored NaN/inf: treat as no best yet
     if prev is not None and not (metric < prev):
+        _BEST_METRIC_CACHE[fname] = prev
         return None
     with open(fname, "wb") as f:
         pickle.dump({"step": step, "best_metric": float(metric),
                      **_to_host(state)}, f,
                     protocol=pickle.HIGHEST_PROTOCOL)
+    _BEST_METRIC_CACHE[fname] = float(metric)
     return fname
 
 

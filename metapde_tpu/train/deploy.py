@@ -19,17 +19,11 @@ import jax
 import jax.numpy as jnp
 import optax
 
-
-def _make_opt(name: str, lr: float):
-    if name == "adam":
-        return optax.adam(lr)
-    if name == "rmsprop":
-        # the reference's "rmsprop" is adam with beta1=0 (trainer_util.py:
-        # 593-612); keep that equivalence here
-        return optax.adam(lr, b1=0.0)
-    if name == "sgd":
-        return optax.sgd(lr)
-    raise ValueError(f"unknown deploy optimizer: {name!r}")
+# one optimizer table for training AND deployment: optimizers.get_optimizer
+# already encodes the reference's exact beta mapping (adam b2=0.99, rmsprop =
+# adam(b1=0, b2=0.8), trainer_util.py:593-612); a local copy here had drifted
+# to optax defaults (ADVICE r2)
+from .optimizers import get_optimizer as _make_opt
 
 
 def make_opt_final_model(pde, loss_fn, field, task_cfg, deploy_cfg,

@@ -7,6 +7,7 @@ pytrees, so caching is an npz per key; the key is a hash of the solver
 hyperparameters and task parameters rounded to float32.
 """
 
+import dataclasses
 import hashlib
 import os
 import pickle
@@ -14,6 +15,37 @@ import pickle
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+# TaskConfig fields that change what sample_params/solve produce for a given
+# PRNG key. When cache entries are keyed on PRNG-key bytes (key_material),
+# these MUST also enter the key or two runs differing only in such a field
+# but sharing a seed + family gt_cache dir would silently reuse each other's
+# ground truths (ADVICE r2, high).
+_GT_TASK_FIELDS = (
+    "vary_source", "vary_bc", "vary_geometry", "vary_ic", "bc_scale",
+    "fixed_num_pdes", "num_tsteps", "max_reynolds", "burgers_formulation",
+    "burgers_gt_solver", "max_holes", "max_hole_size", "domain",
+)
+
+
+def task_cache_extra(task_cfg) -> dict:
+    """Curated gt-affecting TaskConfig fields for the cache key.
+
+    Only fields that differ from the TaskConfig defaults are included, so
+    (a) growing TaskConfig with new fields never invalidates existing caches
+    (the round-14 incident) and (b) runs differing in a gt-affecting field
+    never share an entry. Pass the result as get_or_solve(extra_hparams=...).
+    """
+    default = type(task_cfg)()
+    out = {}
+    for f in _GT_TASK_FIELDS:
+        v, d = getattr(task_cfg, f), getattr(default, f)
+        if dataclasses.is_dataclass(v):
+            v, d = dataclasses.asdict(v), dataclasses.asdict(d)
+        if v != d:
+            out[f] = v
+    return out
 
 
 def _key(pde_name: str, hparams: dict, params, key_material=None) -> str:
@@ -54,8 +86,25 @@ class GroundTruthCache:
             # (vmap'd evaluate_gt) downstream
             leaves = [jnp.asarray(l) for l in leaves]
             return jax.tree_util.tree_unflatten(treedef, leaves)
-        gt = pde.solve(params, resolution=resolution)
-        host = jax.tree_util.tree_map(lambda x: jax.device_get(x), gt)
+        try:
+            gt = pde.solve(params, resolution=resolution)
+            host = jax.tree_util.tree_map(lambda x: jax.device_get(x), gt)
+        except Exception as e:
+            # Observed failure mode: a gt solver program (poisson res-32
+            # multigrid) reproducibly kernel-faults the TPU worker while
+            # train-step programs run clean for hours (NEXT.md 8). Retry
+            # the solve once pinned to the CPU backend — cache keys are
+            # backend-independent (PRNG-key bytes), so the entry is valid
+            # for every later process. Failures on the retry propagate.
+            print(f"gt_cache: solve failed on {jax.default_backend()} "
+                  f"({type(e).__name__}: {e}); retrying on CPU")
+            with jax.default_device(jax.devices("cpu")[0]):
+                gt = pde.solve(params, resolution=resolution)
+                host = jax.tree_util.tree_map(
+                    lambda x: np.asarray(jax.device_get(x)), gt)
+            # hand uncommitted host leaves downstream (a CPU-committed tree
+            # would pin later vmap'd evaluate_gt to the CPU backend)
+            gt = jax.tree_util.tree_map(jnp.asarray, host)
         leaves, treedef = jax.tree_util.tree_flatten(host)
         with open(path, "wb") as f:
             pickle.dump({"leaves": leaves, "treedef": treedef}, f,

@@ -239,17 +239,25 @@ def run(cfg: Config):
         except Exception as e:
             log(f"could not resume optimizer state ({e}); fresh optimizer")
 
-    key, gt_key, gt_points_key = jax.random.split(key, 3)
+    # eval-task keys ride in the checkpoint so the eval task set (and hence
+    # val_rel_err) is pinned across resume chains (see maml_driver.run)
+    if resume_state is not None and resume_state.get("gt_key") is not None:
+        gt_key = jnp.asarray(resume_state["gt_key"])
+        gt_points_key = jnp.asarray(resume_state["gt_points_key"])
+        log("pinned eval tasks from checkpoint gt_key")
+    else:
+        key, gt_key, gt_points_key = jax.random.split(key, 3)
     gt_keys = jax.random.split(gt_key, cfg.task.n_eval)
     gt_params = jax.vmap(pde.sample_params)(gt_keys)
+    from .gt_cache import task_cache_extra
     bundle = get_ground_truth(
         pde, gt_params, gt_points_key, cfg.task.validation_points,
         cfg.solver.ground_truth_resolution,
         cache_dir=(os.path.join(cfg.train.out_dir, "gt_cache")
                    if cfg.train.out_dir else None),
-        # key = (pde, resolution, gt_version, params, gt key) — params
-        # already determine the solution; hashing asdict(cfg.task) here
-        # used to invalidate every cache whenever TaskConfig grew a field
+        # key = (pde, resolution, gt_version, gt-affecting non-default task
+        # fields, gt key) — see gt_cache.task_cache_extra
+        cache_extra=task_cache_extra(cfg.task),
         cache_keys=gt_keys,
     )
     validation_fn = make_validation_fn(
@@ -346,15 +354,18 @@ def run(cfg: Config):
                 # steps — see checkpoints.save_best_checkpoint)
                 ckpt.save_best_checkpoint(path, log_step, float(val.rel_err), {
                     "params": params, "opt_state": opt_state, "prng_key": key,
+                    "gt_key": gt_key, "gt_points_key": gt_points_key,
                 })
 
         if path is not None and step > 1 and hit(cfg.train.checkpoint_every):
             ckpt.save_checkpoint(path, log_step, {
                 "params": params, "opt_state": opt_state, "prng_key": key,
+                "gt_key": gt_key, "gt_points_key": gt_points_key,
             })
 
     if path is not None:
         ckpt.save_checkpoint(path, step, {
             "params": params, "opt_state": opt_state, "prng_key": key,
+            "gt_key": gt_key, "gt_points_key": gt_points_key,
         })
     return params

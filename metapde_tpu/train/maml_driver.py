@@ -351,18 +351,31 @@ def run(cfg: Config):
         except Exception as e:  # config drift: fall back to fresh opt
             log(f"could not resume optimizer state ({e}); fresh optimizers")
 
-    # ground truth (once, on device — reference does this on CPU via FEniCS)
-    key, gt_key, gt_points_key = jax.random.split(key, 3)
+    # ground truth (once, on device — reference does this on CPU via FEniCS).
+    # Eval-task keys are PINNED across resumes: they ride in the checkpoint,
+    # so val_rel_err stays comparable along a continuation chain. Deriving
+    # them from the restored PRNG stream (the old behavior) re-rolled the
+    # eval task set at every resume — which is how the em5 200k->270k
+    # regression stayed invisible to training-val (RESULTS.md round 2).
+    if resume_state is not None and resume_state.get("gt_key") is not None:
+        gt_key = jnp.asarray(resume_state["gt_key"])
+        gt_points_key = jnp.asarray(resume_state["gt_points_key"])
+        log("pinned eval tasks from checkpoint gt_key")
+    else:
+        key, gt_key, gt_points_key = jax.random.split(key, 3)
     gt_keys = jax.random.split(gt_key, cfg.task.n_eval)
     gt_params = jax.vmap(pde.sample_params)(gt_keys)
+    from .gt_cache import task_cache_extra
     bundle = get_ground_truth(
         pde, gt_params, gt_points_key, cfg.task.validation_points,
         cfg.solver.ground_truth_resolution,
         cache_dir=(os.path.join(cfg.train.out_dir, "gt_cache")
                    if cfg.train.out_dir else None),
-        # key = (pde, resolution, gt_version, params, gt key) — params
-        # already determine the solution; hashing asdict(cfg.task) here
-        # used to invalidate every cache whenever TaskConfig grew a field
+        # key = (pde, resolution, gt_version, gt-affecting non-default task
+        # fields, gt key): the key bytes pin WHICH task was drawn, and
+        # task_cache_extra pins the sample_params/solve semantics that the
+        # key bytes alone do not capture (gt_cache.py)
+        cache_extra=task_cache_extra(cfg.task),
         cache_keys=gt_keys,
     )
 
@@ -486,7 +499,8 @@ def run(cfg: Config):
                 ckpt.save_best_checkpoint(path, log_step, float(val.rel_err), {
                     "params": params, "inner_lrs": inner_lrs,
                     "opt_state": opt_state, "lr_opt_state": lr_opt_state,
-                    "prng_key": key,
+                    "prng_key": key, "gt_key": gt_key,
+                    "gt_points_key": gt_points_key,
                 })
 
         if path is not None and hit(cfg.train.viz_every):
@@ -497,7 +511,8 @@ def run(cfg: Config):
             ckpt.save_checkpoint(path, log_step, {
                 "params": params, "inner_lrs": inner_lrs,
                 "opt_state": opt_state, "lr_opt_state": lr_opt_state,
-                "prng_key": key,
+                "prng_key": key, "gt_key": gt_key,
+                "gt_points_key": gt_points_key,
             })
 
     if profiling:
@@ -506,6 +521,7 @@ def run(cfg: Config):
         ckpt.save_checkpoint(path, step, {
             "params": params, "inner_lrs": inner_lrs,
             "opt_state": opt_state, "lr_opt_state": lr_opt_state,
-            "prng_key": key,
+            "prng_key": key, "gt_key": gt_key,
+            "gt_points_key": gt_points_key,
         })
     return params, inner_lrs

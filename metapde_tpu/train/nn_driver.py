@@ -261,14 +261,15 @@ def run(cfg: Config, maml_warmup: bool = False):
     key, gt_key, gt_points_key = jax.random.split(key, 3)
     gt_keys = jax.random.split(gt_key, cfg.task.n_eval)
     gt_params = jax.vmap(pde.sample_params)(gt_keys)
+    from .gt_cache import task_cache_extra
     bundle = get_ground_truth(
         pde, gt_params, gt_points_key, cfg.task.validation_points,
         cfg.solver.ground_truth_resolution,
         cache_dir=(os.path.join(cfg.train.out_dir, "gt_cache")
                    if cfg.train.out_dir else None),
-        # key = (pde, resolution, gt_version, params, gt key) — params
-        # already determine the solution; hashing asdict(cfg.task) here
-        # used to invalidate every cache whenever TaskConfig grew a field
+        # key = (pde, resolution, gt_version, gt-affecting non-default task
+        # fields, gt key) — see gt_cache.task_cache_extra
+        cache_extra=task_cache_extra(cfg.task),
         cache_keys=gt_keys,
     )
     validation_fn = make_validation_fn(

@@ -30,6 +30,39 @@ def test_save_best_only_improves(tmp_path):
     assert d["step"] == 30 and d["best_metric"] == 0.4
 
 
+def test_nan_never_tracked(tmp_path):
+    """A NaN first validation must not poison best tracking (ADVICE r2:
+    `not (metric < nan)` is always True, so no finite later metric would
+    ever replace a stored NaN)."""
+    p = str(tmp_path)
+    state = {"params": {"w": np.ones(2)}}
+    assert ckpt.save_best_checkpoint(p, 1, float("nan"), state) is None
+    assert ckpt.best_checkpoint(p) is None
+    # a finite metric after the NaN is tracked normally
+    assert ckpt.save_best_checkpoint(p, 2, 0.9, state) is not None
+    assert ckpt.save_best_checkpoint(p, 3, float("inf"), state) is None
+    assert ckpt.save_best_checkpoint(p, 4, 0.5, state) is not None
+    with open(ckpt.best_checkpoint(p), "rb") as f:
+        d = pickle.load(f)
+    assert d["step"] == 4 and d["best_metric"] == 0.5
+
+
+def test_stored_nan_recoverable(tmp_path):
+    """Legacy best files written with a non-finite metric are treated as
+    'no best yet' rather than blocking forever."""
+    import os
+
+    p = str(tmp_path)
+    fname = os.path.join(p, ckpt.BEST_NAME)
+    with open(fname, "wb") as f:
+        pickle.dump({"step": 1, "best_metric": float("nan"),
+                     "params": {"w": np.ones(2)}}, f)
+    assert ckpt.save_best_checkpoint(
+        p, 2, 0.3, {"params": {"w": np.ones(2)}}) is not None
+    with open(fname, "rb") as f:
+        assert pickle.load(f)["best_metric"] == 0.3
+
+
 def test_best_checkpoint_invisible_to_latest(tmp_path):
     p = str(tmp_path)
     ckpt.save_best_checkpoint(p, 10, 0.5, {"params": {"w": np.ones(2)}})

@@ -72,6 +72,47 @@ def test_driver_elastic_resume(tmp_path, algo):
 
 
 @pytest.mark.slow
+@pytest.mark.parametrize("algo", ["maml", "leap"])
+def test_eval_tasks_pinned_across_resume_chain(tmp_path, algo):
+    """Eval-task PRNG keys ride in the checkpoint and survive a resume
+    CHAIN, so val_rel_err is comparable along a continuation (VERDICT r2
+    item 2: the em5 200k->270k regression was invisible to training-val
+    because the eval task set re-derived from the restored PRNG stream)."""
+    import numpy as np
+
+    from metapde_tpu.train import checkpoints as ckpt
+    from metapde_tpu.train import leap_driver, maml_driver
+
+    driver = {"maml": maml_driver, "leap": leap_driver}[algo]
+
+    driver.run(_tiny_cfg(tmp_path, f"pin_{algo}_a", algo, outer_steps=3))
+    run_a = str(tmp_path / f"pin_{algo}_a")
+    state_a = ckpt.load_checkpoint(ckpt.latest_checkpoint(run_a))
+    assert state_a.get("gt_key") is not None, "checkpoint lacks gt_key"
+
+    driver.run(_tiny_cfg(tmp_path, f"pin_{algo}_b", algo, outer_steps=6,
+                         load_from=run_a))
+    run_b = str(tmp_path / f"pin_{algo}_b")
+    state_b = ckpt.load_checkpoint(ckpt.latest_checkpoint(run_b))
+    with open(os.path.join(run_b, "log.txt")) as f:
+        assert "pinned eval tasks from checkpoint gt_key" in f.read()
+
+    driver.run(_tiny_cfg(tmp_path, f"pin_{algo}_c", algo, outer_steps=9,
+                         load_from=run_b))
+    run_c = str(tmp_path / f"pin_{algo}_c")
+    state_c = ckpt.load_checkpoint(ckpt.latest_checkpoint(run_c))
+
+    # the pin propagates unchanged through the whole chain
+    np.testing.assert_array_equal(
+        np.asarray(state_a["gt_key"]), np.asarray(state_b["gt_key"]))
+    np.testing.assert_array_equal(
+        np.asarray(state_a["gt_key"]), np.asarray(state_c["gt_key"]))
+    np.testing.assert_array_equal(
+        np.asarray(state_a["gt_points_key"]),
+        np.asarray(state_c["gt_points_key"]))
+
+
+@pytest.mark.slow
 def test_config_drift_detection(tmp_path):
     """A resume command that silently changes the objective must warn.
 
