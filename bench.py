@@ -174,6 +174,54 @@ def _arm_watchdog(seconds: int):
     signal.alarm(seconds)
 
 
+def _measure_window_refs(jax):
+    """Fixed micro-reference computations for cross-window normalization.
+
+    Identical bench code measured 49.8 vs 24.0 steps/s on different tunnel
+    windows (RESULTS.md round-2 perf-study preamble) — a 2x environmental
+    swing on the same chip. These two canned probes separate the axes so a
+    headline number can be normalized across windows:
+      - window_ref_compute_ms: one dispatch of a 200-deep bf16 1024^2
+        matmul+tanh chain (device execution rate);
+      - window_ref_roundtrip_ms: median of 30 trivial dispatch+fetch
+        round trips (tunnel/dispatch latency).
+    Cross-window comparison: steps/s * (ref_ms_then / ref_ms_now) for
+    whichever axis dominates the measured regime (the flagship step is
+    latency/traffic-bound at width 64 — roofline, RESULTS.md)."""
+    import jax.numpy as jnp
+
+    @jax.jit
+    def chain(x):
+        def body(c, _):
+            return jnp.tanh(c @ x), ()
+        c, _ = jax.lax.scan(body, x, None, length=200)
+        return c
+
+    x = jnp.ones((1024, 1024), jnp.bfloat16) * 0.001
+    np.asarray(chain(x))  # compile + warm
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        np.asarray(chain(x))
+        times.append((time.perf_counter() - t0) * 1e3)
+    compute_ms = float(np.median(times))
+
+    @jax.jit
+    def tiny(y):
+        return y + 1.0
+
+    y = jnp.zeros((), jnp.float32)
+    np.asarray(tiny(y))
+    times = []
+    for _ in range(30):
+        t0 = time.perf_counter()
+        y = tiny(y)
+        np.asarray(y)
+        times.append((time.perf_counter() - t0) * 1e3)
+    roundtrip_ms = float(np.median(times))
+    return round(compute_ms, 3), round(roundtrip_ms, 3)
+
+
 def main():
     _ensure_exclusive_tpu()
     backend = "tpu"
@@ -262,12 +310,17 @@ def main():
         cfg.maml.inner_steps * cfg.task.inner_points
         + (cfg.maml.inner_steps + 1) * cfg.task.outer_points
     )
+    ref_compute_ms, ref_roundtrip_ms = _measure_window_refs(jax)
     result = {
         "metric": "poisson_maml_outer_steps_per_sec",
         "value": round(steps_per_sec, 4),
         "unit": "steps/s",
         "vs_baseline": round(steps_per_sec * REF_STEP_TIME_S, 3),
         "residual_pt_evals_per_sec": round(steps_per_sec * pt_evals_per_step),
+        # fixed micro-reference timings for cross-window normalization
+        # (see _measure_window_refs): quote steps/s * (ref_then/ref_now)
+        "window_ref_compute_ms": ref_compute_ms,
+        "window_ref_roundtrip_ms": ref_roundtrip_ms,
     }
     if backend != "tpu":
         result["backend"] = backend  # CPU fallback run (TPU tunnel down)
