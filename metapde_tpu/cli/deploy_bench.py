@@ -207,6 +207,8 @@ def run(cfg: Config, algo: str = "maml", inner_steps_list=(0, 1, 2, 5, 10, 20),
             **({"deploy_optimizer": cfg.deploy.optimizer,
                 "deploy_inner_lr": cfg.deploy.inner_lr}
                if cfg.deploy.optimizer else {}),
+            **({"compute_dtype": cfg.model.compute_dtype}
+               if cfg.model.compute_dtype else {}),
             "time_per_task_s": dt / cfg.task.n_eval,
             "val_mse": float(val.mse),
             "val_rel_err": float(val.rel_err),
@@ -225,6 +227,10 @@ def run(cfg: Config, algo: str = "maml", inner_steps_list=(0, 1, 2, 5, 10, 20),
     # the default-protocol bench of the same checkpoint is never clobbered
     # (a best-ckpt run overwrote a latest-ckpt k-sweep before this suffix)
     suffix = f"_{cfg.deploy.optimizer}" if cfg.deploy.optimizer else ""
+    # mixed-precision deploy variants get their own file too (a bf16
+    # bench must not clobber the default-precision rows)
+    if cfg.model.compute_dtype:
+        suffix += f"_{cfg.model.compute_dtype}"
     # suffix keyed on the checkpoint actually benched, not the requested
     # one: a --checkpoint=best run that fell back to latest must not write
     # latest-checkpoint rows into deploy_bench_best.jsonl (ADVICE r2)

@@ -135,7 +135,11 @@ def config_drift(expt_dir: str, cfg, sections=("task", "model", "solver")):
     drifts = []
     for sec in sections:
         a, b = flat(old.get(sec, {}) or {}), flat(new.get(sec, {}) or {})
-        for k in sorted(set(a) | set(b)):
-            if a.get(k) != b.get(k):
-                drifts.append(f"{sec}.{k}: {a.get(k)!r} -> {b.get(k)!r}")
+        # compare only fields present in BOTH configs: a field that exists
+        # on one side only is schema growth/removal between code versions,
+        # not a relaunch changing the experiment (the None -> default noise
+        # every resume of a pre-growth run used to print)
+        for k in sorted(set(a) & set(b)):
+            if a[k] != b[k]:
+                drifts.append(f"{sec}.{k}: {a[k]!r} -> {b[k]!r}")
     return drifts
