@@ -35,9 +35,9 @@ for fam in results_*/; do
     fi
     # -f: run metadata inside gitignored dirs (e.g. gtwarm*/) must still
     # become durable, not just dirs covered by the gitignore whitelist
-    for meta in config.json metrics.jsonl log.txt deploy_bench.jsonl \
-        deploy_bench_best.jsonl deploy_bench_adam.jsonl; do
-      [ -f "$d$meta" ] && git add -f "$d$meta" && added+=("$d$meta")
+    for meta in "$d"config.json "$d"metrics.jsonl "$d"log.txt \
+        "$d"deploy_bench*.jsonl; do
+      [ -f "$meta" ] && git add -f "$meta" && added+=("$meta")
     done
   done
 done
