@@ -21,7 +21,7 @@ python -m metapde_tpu.cli.paper_plots --out=figures \
 python -m metapde_tpu.cli.paper_plots --out=figures \
   --title="TD-Burgers: accuracy vs wall time per task" --name=pareto_td_burgers \
   --baseline=baselines/td_burgers \
-  --deploy=MAML:results_burgers_maml/tpu_run2/deploy_bench.jsonl \
+  --deploy=MAML:results_burgers_maml/bm7_5/deploy_bench.jsonl \
   --deploy=LEAP:results_burgers_leap/ldb3_1/deploy_bench.jsonl \
   --finetune="MAML fine-tune (CPU):results_burgers_deploy/deploy_maml_seed_*" \
   --finetune="LEAP fine-tune (CPU):results_burgers_deploy/deploy_leap_seed_*" \
@@ -32,7 +32,7 @@ python -m metapde_tpu.cli.paper_plots --out=figures \
   --title="Hyperelasticity: accuracy vs wall time per task" --name=pareto_elasticity \
   --baseline=baselines/hyper_elasticity \
   --deploy=MAML:results_elasticity_maml/em5/deploy_bench.jsonl \
-  --deploy=LEAP:results_elasticity_leap/lde1_1/deploy_bench.jsonl \
+  --deploy=LEAP:results_elasticity_leap/lde2_3/deploy_bench_best.jsonl \
   --finetune="MAML fine-tune (CPU):results_elasticity_deploy/deploy_maml_seed_*" \
   --finetune="LEAP fine-tune (CPU):results_elasticity_deploy/deploy_leap_seed_*" \
   --ref-point="ref FEM res (8,12):20.6:9.1e-4" \
