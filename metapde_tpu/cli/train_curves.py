@@ -8,10 +8,13 @@ on the fast protocol): which config Pareto-dominates in accuracy per
 second of meta-training.
 
 Wallclock is reconstructed from the metrics epoch timestamps: the first
-interval (which includes jit compile + ground-truth solves) is replaced
-by the steady-state median interval, and any interval larger than 10x the
-median (a resume gap or a wedged-tunnel stall, not training) is clamped
-to the median — so curves measure training compute, not tunnel weather.
+interval (which includes jit compile + ground-truth solves) and any
+interval larger than 10x the steady-state median (a resume gap or a
+wedged-tunnel stall, not training) are each REPLACED BY the median
+interval — a restart contributes one ordinary interval of wallclock, not
+up to ten (ADVICE r3) — so curves measure training compute, not tunnel
+weather. Runs whose timestamps are all identical fall back to
+step-indexed x rather than collapsing to t=0 on a log axis.
 
 Usage:
     python -m metapde_tpu.cli.train_curves --out=figures --name=width_pareto \
@@ -25,7 +28,7 @@ import os
 import sys
 
 from ..train.analysis import load_run
-from .paper_plots import REF_GRAY, SERIES_COLORS, SURFACE, TEXT, TEXT_2
+from .paper_plots import SERIES_COLORS, SURFACE, TEXT, TEXT_2
 
 
 def wallclock_curve(path):
@@ -37,10 +40,18 @@ def wallclock_curve(path):
     dts = [0.0] + [records[i]["time"] - records[i - 1]["time"]
                    for i in range(1, len(records))]
     steady = sorted(dts[1:])[len(dts[1:]) // 2]
+    if steady <= 0:
+        # all timestamps duplicated: no usable wallclock signal — use
+        # step-indexed x instead of piling every point at t=0 (ADVICE r3)
+        pts, best = [], float("inf")
+        for i, r in enumerate(records):
+            best = min(best, r["val_rel_err"])
+            pts.append((float(r.get("step", i)) or float(i), best))
+        return pts
     dts[0] = steady
     t, best, pts = 0.0, float("inf"), []
     for r, dt in zip(records, dts):
-        t += min(dt, 10.0 * steady) if dt > 0 else steady
+        t += steady if (dt <= 0 or dt > 10.0 * steady) else dt
         best = min(best, r["val_rel_err"])
         pts.append((t, best))
     return pts
