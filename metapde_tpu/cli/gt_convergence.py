@@ -29,8 +29,22 @@ from ..pdes import get_pde
 def run(cfg: Config, resolutions, ref_resolution: int, n_tasks: int = 4,
         n_points: int = 1024, seed: int = 0, per_task: bool = False,
         warm_chain: bool = False, chain_down: bool = False,
-        task_index: int = None):
+        task_index: int = None, oracle: str = "p1"):
     pde = get_pde(cfg.task)
+    if oracle == "richardson":
+        # higher-ORDER oracle sweep (poisson: Richardson-extrapolated
+        # nested P1 solves + bicubic evaluation, matching the reference's
+        # P2-element convergence order — fem_poisson.solve_richardson);
+        # the reference solve uses the same oracle at ref_resolution so
+        # the sweep measures richardson-vs-richardson self-convergence
+        if pde.solve_hi is None:
+            raise SystemExit(f"--oracle=richardson: {cfg.task.pde} has no "
+                             "solve_hi")
+        solve_fn, eval_fn, solve_ref = (pde.solve_hi, pde.evaluate_gt_hi,
+                                        pde.solve_hi)
+    else:
+        solve_fn, eval_fn = pde.solve, pde.evaluate_gt
+        solve_ref = pde.solve_ref or pde.solve
     keys = jax.random.split(jax.random.PRNGKey(seed), n_tasks)
     tasks = [pde.sample_params(k) for k in keys]
     if task_index is not None:
@@ -47,7 +61,6 @@ def run(cfg: Config, resolutions, ref_resolution: int, n_tasks: int = 4,
                                n_points, per_task, down=chain_down)
 
     # reference solves + shared validation points
-    solve_ref = pde.solve_ref or pde.solve
     refs, pts = [], []
     for i, params in enumerate(tasks):
         gt = solve_ref(params, resolution=ref_resolution)
@@ -59,7 +72,7 @@ def run(cfg: Config, resolutions, ref_resolution: int, n_tasks: int = 4,
         pts.append(p)
 
     ref_vals = [
-        jax.vmap(lambda x: pde.evaluate_gt(g, x))(p)
+        jax.vmap(lambda x: eval_fn(g, x))(p)
         for g, p in zip(refs, pts)
     ]
 
@@ -68,9 +81,9 @@ def run(cfg: Config, resolutions, ref_resolution: int, n_tasks: int = 4,
         num, den, dt = 0.0, 0.0, 0.0
         for i, (params, p, rv) in enumerate(zip(tasks, pts, ref_vals)):
             t0 = time.perf_counter()
-            gt = jax.block_until_ready(pde.solve(params, resolution=res))
+            gt = jax.block_until_ready(solve_fn(params, resolution=res))
             dt += time.perf_counter() - t0
-            v = jax.vmap(lambda x: pde.evaluate_gt(gt, x))(p)
+            v = jax.vmap(lambda x: eval_fn(gt, x))(p)
             num += float(jnp.sum((v - rv) ** 2))
             den += float(jnp.sum(rv ** 2))
             if per_task:
@@ -104,16 +117,21 @@ def run(cfg: Config, resolutions, ref_resolution: int, n_tasks: int = 4,
             "rel_mse": num / max(den, 1e-30),
             "time_per_solve_s": dt / len(tasks),
         }
+        if oracle != "p1":
+            row["oracle"] = oracle
         rows.append(row)
         print(json.dumps(row), flush=True)
 
-    print(json.dumps({
+    summary = {
         "pde": cfg.task.pde, "ref_resolution": ref_resolution,
         "n_tasks": n_tasks, "n_points": n_points,
         "rel_mse_by_resolution": {
             str(r["resolution"]): r["rel_mse"] for r in rows
         },
-    }), flush=True)
+    }
+    if oracle != "p1":
+        summary["oracle"] = oracle
+    print(json.dumps(summary), flush=True)
     return rows
 
 
@@ -219,10 +237,13 @@ def main(argv=None):
     warm_chain = False
     chain_down = False
     task_index = None
+    oracle = "p1"
     passthrough = []
     for a in argv:
         if a == "--per_task":
             per_task = True
+        elif a.startswith("--oracle="):
+            oracle = a.split("=", 1)[1]
         elif a == "--warm_chain":
             warm_chain = True
         elif a == "--chain_down":
@@ -244,7 +265,7 @@ def main(argv=None):
     cfg = parse_overrides(Config(), passthrough)
     run(cfg, resolutions, ref_resolution, n_tasks, n_points, seed,
         per_task=per_task, warm_chain=warm_chain, chain_down=chain_down,
-        task_index=task_index)
+        task_index=task_index, oracle=oracle)
 
 
 if __name__ == "__main__":

@@ -98,7 +98,7 @@ def _finetune_median_curve(pattern):
 
 
 def make_figure(title, baseline_dir, deploys, ref_points, out_path,
-                finetunes=()):
+                finetunes=(), baseline2=None):
     import matplotlib
 
     matplotlib.use("Agg")
@@ -126,6 +126,28 @@ def make_figure(title, baseline_dir, deploys, ref_points, out_path,
             for p in (pts[0], pts[-1]):
                 ax.annotate(f"res {p[2]}", (p[0], p[1]),
                             textcoords="offset points", xytext=(6, 5),
+                            fontsize=7.5, color=TEXT_2)
+
+    if baseline2:
+        # second classical line (e.g. the Richardson higher-order oracle,
+        # matching the reference's P2-element convergence order) — same
+        # entity hue, dashed + open markers to read as a variant
+        b2_label, b2_dir = baseline2
+        data = load_baseline(b2_dir)
+        if data:
+            pts = sorted(
+                ((v["time_per_solve"], v["rel_mse"], res)
+                 for res, v in data.items()),
+                key=lambda p: int(p[2]),
+            )
+            c = ENTITY_COLORS["classical"]
+            n_series += 1
+            ax.plot([p[0] for p in pts], [p[1] for p in pts], "--o",
+                    color=c, linewidth=1.6, markersize=6,
+                    markerfacecolor="none", label=b2_label)
+            for p in (pts[0], pts[-1]):
+                ax.annotate(f"res {p[2]}", (p[0], p[1]),
+                            textcoords="offset points", xytext=(6, -10),
                             fontsize=7.5, color=TEXT_2)
 
     for di, (label, path) in enumerate(deploys):
@@ -187,6 +209,7 @@ def make_figure(title, baseline_dir, deploys, ref_points, out_path,
 def main(argv=None):
     argv = argv if argv is not None else sys.argv[1:]
     out_dir, title, name, baseline = "figures", "", "pareto", None
+    baseline2 = None
     deploys, ref_points, finetunes = [], [], []
     for a in argv:
         if a.startswith("--out="):
@@ -197,6 +220,9 @@ def main(argv=None):
             name = a.split("=", 1)[1]
         elif a.startswith("--baseline="):
             baseline = a.split("=", 1)[1]
+        elif a.startswith("--baseline2="):
+            b2_label, b2_dir = a.split("=", 1)[1].split(":", 1)
+            baseline2 = (b2_label, b2_dir)
         elif a.startswith("--deploy="):
             label, path = a.split("=", 1)[1].split(":", 1)
             deploys.append((label, path))
@@ -211,7 +237,7 @@ def main(argv=None):
     os.makedirs(out_dir, exist_ok=True)
     out_path = os.path.join(out_dir, f"{name}.png")
     make_figure(title, baseline, deploys, ref_points, out_path,
-                finetunes=finetunes)
+                finetunes=finetunes, baseline2=baseline2)
     print(out_path)
 
 

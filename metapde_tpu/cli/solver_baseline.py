@@ -22,6 +22,7 @@ def main(argv=None):
     argv = argv if argv is not None else sys.argv[1:]
     resolutions = (4, 8, 16, 32)
     axis2 = None
+    oracle = "p1"
     rest = []
     for a in argv:
         if a.startswith("--resolutions="):
@@ -31,10 +32,13 @@ def main(argv=None):
         elif a.startswith("--axis2="):
             name, vals = a.split("=", 1)[1].split(":", 1)
             axis2 = (name, tuple(int(x) for x in vals.split(",")))
+        elif a.startswith("--oracle="):
+            oracle = a.split("=", 1)[1]
         else:
             rest.append(a)
     cfg = parse_overrides(Config(), rest)
-    baseline_driver.run(cfg, spatial_resolutions=resolutions, axis2=axis2)
+    baseline_driver.run(cfg, spatial_resolutions=resolutions, axis2=axis2,
+                        oracle=oracle)
 
 
 if __name__ == "__main__":

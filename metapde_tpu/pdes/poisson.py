@@ -162,4 +162,9 @@ def make_pde(cfg: TaskConfig) -> PdeDef:
         evaluate_gt=fem_poisson.evaluate,
         sample_validation_points=sample_validation_points,
         solve_ref=solve_ref,
+        solve_hi=lambda params, resolution=None, boundary_points=None:
+            fem_poisson.solve_richardson(
+                params, resolution=resolution if resolution is not None
+                else 16),
+        evaluate_gt_hi=fem_poisson.evaluate_cubic,
     )

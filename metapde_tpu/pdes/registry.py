@@ -38,6 +38,12 @@ class PdeDef(NamedTuple):
     #   ref=False) -> gt: re-solve warm-started from another resolution's
     #   solution of the same task (branch-tracking continuation for
     #   convergence sweeps on PDEs with non-unique minimizers)
+    solve_hi: Callable = None  # optional higher-ORDER oracle (not just
+    #   higher precision): e.g. poisson's Richardson-extrapolated nested
+    #   P1 solves matching the reference's P2-element convergence order
+    #   (src/poisson/poisson_fenics.py:58). Pair with evaluate_gt_hi.
+    evaluate_gt_hi: Callable = None  # evaluation matching solve_hi's order
+    #   (e.g. bicubic chart interpolation; bilinear would floor it at h^2)
 
 
 def get_pde(cfg: TaskConfig) -> PdeDef:

@@ -258,6 +258,113 @@ def solve_x64(params, resolution: int = 32, max_newton_steps: int = 20,
                                    precond, rel_tol, krylov_tol)
 
 
+def _cubic_weights(t):
+    """Lagrange cubic basis through nodes {-1, 0, 1, 2} evaluated at t —
+    exact for cubics (O(h^4) interpolation), unlike Catmull-Rom whose
+    finite-difference slopes are only quadratic-exact."""
+    wm1 = -t * (t - 1.0) * (t - 2.0) / 6.0
+    w0 = (t + 1.0) * (t - 1.0) * (t - 2.0) / 2.0
+    w1 = -(t + 1.0) * t * (t - 2.0) / 2.0
+    w2 = (t + 1.0) * t * (t - 1.0) / 6.0
+    return jnp.stack([wm1, w0, w1, w2])
+
+
+def _pad_rows_for_cubic(u_grid):
+    """[nr+3, nt] grid padded for 4-row cubic stencils: row 0 is ring 1
+    reflected through the center (u(-h, th) = u(h, th + pi) — smooth polar
+    charts of smooth fields satisfy this identity exactly), top row is the
+    cubic extrapolation past the Dirichlet boundary (exact for cubics, so
+    it does not degrade the interpolation order in the last cell)."""
+    nt = u_grid.shape[1]
+    below = jnp.roll(u_grid[1], -(nt // 2))[None, :]
+    top = (4.0 * u_grid[-1] - 6.0 * u_grid[-2] + 4.0 * u_grid[-3]
+           - u_grid[-4])[None, :]
+    return jnp.concatenate([below, u_grid, top], axis=0)
+
+
+def _chart_cubic(padded, nr: int, nt: int, fi, fj):
+    """Bicubic Lagrange interpolation at logical grid coords (fi in [0, nr]
+    radial, fj periodic angular), given a _pad_rows_for_cubic grid."""
+    i0 = jnp.clip(jnp.floor(fi).astype(jnp.int32), 0, nr - 1)
+    ti = fi - i0
+    j0 = jnp.floor(fj).astype(jnp.int32)
+    tj = fj - j0
+    wi = _cubic_weights(ti)
+    wj = _cubic_weights(tj)
+    rows = i0 + jnp.arange(4)  # grid rows i0-1..i0+2 -> padded i0..i0+3
+    cols = (j0 - 1 + jnp.arange(4)) % nt
+    patch = padded[rows[:, None], cols[None, :]]  # [4, 4]
+    return wi @ patch @ wj
+
+
+def evaluate_cubic(gt: PoissonGroundTruth, x):
+    """Bicubic chart evaluation (jit/vmap friendly): O(h^4) interpolation
+    between nodes, vs `evaluate`'s O(h^2) bilinear. Required to realize the
+    order of `solve_richardson` solutions (bilinear interpolation error
+    would dominate the extrapolated nodal accuracy); also valid, and
+    harmless, on plain P1 solutions."""
+    nr = gt.u_grid.shape[0] - 1
+    nt = gt.u_grid.shape[1]
+    c1, c2 = gt.geo_params[0], gt.geo_params[1]
+    theta = jnp.arctan2(x[1], x[0]) % (2.0 * jnp.pi)
+    r_theta = 1.0 + c1 * jnp.cos(4.0 * theta) + c2 * jnp.cos(8.0 * theta)
+    rho = jnp.clip(jnp.linalg.norm(x) / r_theta, 0.0, 1.0)
+    padded = _pad_rows_for_cubic(gt.u_grid)  # hoisted out of vmapped loops
+    return _chart_cubic(padded, nr, nt, rho * nr,
+                        theta / (2.0 * jnp.pi) * nt)
+
+
+def solve_richardson(params, resolution: int = 16, rel_tol: float = 1e-8,
+                     krylov_tol: float = 1e-10, max_newton_steps: int = 30):
+    """Higher-order Poisson oracle: Richardson extrapolation of nested x64
+    P1 solves, closing the convergence-order gap to the reference's
+    quadratic FEM (src/poisson/poisson_fenics.py:58, P2 elements).
+
+    P1 nodal values on the smoothly-mapped polar chart carry an h^2 error
+    with a smooth leading term, so solving at `resolution` and
+    2*`resolution` (whose lattices nest: nr and nt both double) and
+    combining u* = u_f + (u_f - P u_c)/3 cancels it, leaving O(h^3+). The
+    prolongation P is bicubic in the chart (O(h^4), so it does not pollute
+    the cancellation), and evaluation of the result must use
+    `evaluate_cubic` — bilinear would reintroduce an O(h^2) floor between
+    nodes. Inner Newton tolerances are pinned well below the h^4 target so
+    algebraic error never masks the extrapolation (the default x64
+    schedule only tracks h^2).
+
+    Cost: one extra solve at 2x resolution (~4x the coarse solve), for
+    roughly squared accuracy — a strictly better accuracy-per-second
+    Pareto than refining P1 (measured: cli/gt_convergence --oracle=richardson).
+    """
+    if resolution < 2:
+        raise ValueError("solve_richardson needs resolution >= 2 so the "
+                         "mesh_topology lattices nest (nr/nt minimums)")
+    gt_c = solve_x64(params, resolution=resolution, rel_tol=rel_tol,
+                     krylov_tol=krylov_tol, max_newton_steps=max_newton_steps)
+    gt_f = solve_x64(params, resolution=2 * resolution, rel_tol=rel_tol,
+                     krylov_tol=krylov_tol, max_newton_steps=max_newton_steps)
+    u_c, u_f = gt_c.u_grid, gt_f.u_grid
+    nr_c, nt_c = u_c.shape[0] - 1, u_c.shape[1]
+    nr_f, nt_f = u_f.shape[0] - 1, u_f.shape[1]
+    assert nr_f == 2 * nr_c and nt_f == 2 * nt_c, "lattices must nest"
+    with jax.enable_x64(True):  # keep the h^2-cancellation in f64
+        padded = _pad_rows_for_cubic(u_c)
+        fi = jnp.arange(nr_f + 1) / 2.0
+        fj = jnp.arange(nt_f) / 2.0
+        prolonged = jax.vmap(
+            lambda a: jax.vmap(
+                lambda b: _chart_cubic(padded, nr_c, nt_c, a, b)
+            )(fj)
+        )(fi)
+        u_star = u_f + (u_f - prolonged) / 3.0
+        # Dirichlet row is exact on the fine lattice; never extrapolate it
+        u_star = u_star.at[-1].set(u_f[-1])
+    return PoissonGroundTruth(
+        u_grid=u_star,
+        geo_params=gt_f.geo_params,
+        residual_norm=gt_f.residual_norm,
+    )
+
+
 def evaluate(gt: PoissonGroundTruth, x):
     """Evaluate the FEM solution at physical point x [2] (jit/vmap friendly).
 

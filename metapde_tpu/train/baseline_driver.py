@@ -26,7 +26,8 @@ from ..utils import Timer, tree_unstack
 from .metrics import prepare_logging
 
 
-def run(cfg: Config, spatial_resolutions=(4, 8, 16, 32), axis2=None):
+def run(cfg: Config, spatial_resolutions=(4, 8, 16, 32), axis2=None,
+        oracle: str = "p1"):
     """Sweep solver accuracy-vs-time over `spatial_resolutions`, optionally
     crossed with a second axis (the reference sweeps spatial x time x
     boundary grids, fenics_baseline.py:38-54,132-173).
@@ -36,12 +37,26 @@ def run(cfg: Config, spatial_resolutions=(4, 8, 16, 32), axis2=None):
         td_burgers time resolution; ("boundary_cap", (48, 96, 192)) for
         hyper_elasticity boundary refinement). None = 1-axis sweep with
         the solver's defaults (result keys stay plain "res").
+
+    oracle: "p1" (the default f32 production solver, timed) or
+        "richardson" — the higher-ORDER oracle pair (pde.solve_hi /
+        evaluate_gt_hi, e.g. poisson's Richardson-extrapolated nested x64
+        P1 solves + bicubic eval) giving the Pareto line that matches the
+        reference's P2-element convergence order. The reference solve then
+        also uses solve_hi so the sweep isn't floored by the reference's
+        own error.
     """
     out_dir = cfg.train.out_dir or f"{cfg.task.pde}_solver_baseline"
     path, log, _ = prepare_logging(out_dir, cfg.train.expt_name)
     log(cfg.to_json())
 
     pde = get_pde(cfg.task)
+    if oracle == "richardson":
+        if pde.solve_hi is None:
+            raise SystemExit(f"oracle=richardson: {cfg.task.pde} has no "
+                             "solve_hi")
+        pde = pde._replace(solve=pde.solve_hi, evaluate_gt=pde.evaluate_gt_hi,
+                           solve_ref=pde.solve_hi)
     key = jax.random.PRNGKey(cfg.seed)
     key, gt_key, pts_key = jax.random.split(key, 3)
     gt_keys = jax.random.split(gt_key, cfg.task.n_eval)
