@@ -11,6 +11,7 @@ export PYTHONPATH= JAX_PLATFORMS=cpu
 python -m metapde_tpu.cli.paper_plots --out=figures \
   --title="Poisson: accuracy vs wall time per task" --name=pareto_poisson \
   --baseline=baselines/poisson \
+  --baseline2="Richardson oracle (order ~3, x64 CPU):baselines/poisson_richardson" \
   --deploy=MAML:results_poisson_maml/tpu_run6b/deploy_bench.jsonl \
   --deploy=LEAP:results_poisson_leap/lp2_4/deploy_bench.jsonl \
   --finetune="MAML fine-tune (CPU):results_poisson_deploy/deploy_maml_seed_*" \
