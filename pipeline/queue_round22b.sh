@@ -45,6 +45,19 @@ if [ -n "${D:-}" ] && [ ! -f "$D/deploy_bench_n24.done" ] && fits 2600; then
   bash pipeline/commit_ckpts.sh "sbi10 24-task fresh benches"
 fi
 
+# ---- S1.5: em7 latest-checkpoint bench --------------------------------------
+# The per-task diagnostic (RESULTS.md round 4) showed best-checkpoint
+# selection on this family tracks a branch-multistable eval task's
+# roulette; the latest-checkpoint fresh-task bench is the honest
+# convergence readout alongside the queued best benches.
+D=$(newest_ckpt_dir results_elasticity_maml em7)
+if [ -n "${D:-}" ] && [ ! -f "$D/deploy_bench.jsonl" ] && fits 1300; then
+  timeout 2600 python -m metapde_tpu.cli.deploy_bench --algo=maml \
+    --from_run="$D" --task.n_eval=8 --solver.ground_truth_resolution=48 \
+    --inner-steps-list=0,1,2,5,10,20
+  bash pipeline/commit_ckpts.sh "em7 latest-checkpoint bench"
+fi
+
 # ---- S2: width Pareto arms (self-skipping duplicates of queue22 S6) ---------
 PO_ARGS=(
   --task.pde=poisson
