@@ -235,6 +235,15 @@ class TrainConfig:
     # reference has wall-clock Timers only, SURVEY.md section 5)
     profile_dir: Optional[str] = None
     profile_steps: int = 3  # loop iterations to capture in the trace
+    # metric that drives checkpoint_best tracking: "rel_err" (the
+    # reference-parity mean) or "rel_err_median". On branch-multistable
+    # families (hyperelasticity) the n_eval-task MEAN is dominated by one
+    # task's post-buckling branch roulette (RESULTS.md round-4 per-task
+    # diagnostic: task 3 swings 0.03<->0.21 within 1k steps), making
+    # best-on-mean selection near-random; the median tracks typical-task
+    # quality. Default stays "rel_err" so existing chains' best files
+    # remain comparable.
+    best_metric: str = "rel_err"
 
 
 @dataclass(frozen=True)

@@ -352,7 +352,10 @@ def run(cfg: Config):
             if path is not None:
                 # best-val state stays durable (quality is not monotone in
                 # steps — see checkpoints.save_best_checkpoint)
-                ckpt.save_best_checkpoint(path, log_step, float(val.rel_err), {
+                best_val = (val.rel_err_median
+                            if cfg.train.best_metric == "rel_err_median"
+                            else val.rel_err)
+                ckpt.save_best_checkpoint(path, log_step, float(best_val), {
                     "params": params, "opt_state": opt_state, "prng_key": key,
                     "gt_key": gt_key, "gt_points_key": gt_points_key,
                 })

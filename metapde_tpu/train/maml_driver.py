@@ -496,7 +496,10 @@ def run(cfg: Config):
                 # meta-training quality is not monotone in steps (measured
                 # em5 regression, RESULTS.md); keep the best-val state
                 # durable. save_best_checkpoint no-ops unless improved.
-                ckpt.save_best_checkpoint(path, log_step, float(val.rel_err), {
+                best_val = (val.rel_err_median
+                            if cfg.train.best_metric == "rel_err_median"
+                            else val.rel_err)
+                ckpt.save_best_checkpoint(path, log_step, float(best_val), {
                     "params": params, "inner_lrs": inner_lrs,
                     "opt_state": opt_state, "lr_opt_state": lr_opt_state,
                     "prng_key": key, "gt_key": gt_key,

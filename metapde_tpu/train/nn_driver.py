@@ -409,8 +409,11 @@ def run(cfg: Config, maml_warmup: bool = False):
                 # best-val state stays durable (quality is not monotone in
                 # steps); under multi-start val_params is already the
                 # selection-best candidate, so save exactly what was scored
+                best_val = (val.rel_err_median
+                            if cfg.train.best_metric == "rel_err_median"
+                            else val.rel_err)
                 ckpt.save_best_checkpoint(
-                    path, log_step, float(val.rel_err),
+                    path, log_step, float(best_val),
                     {"params": val_params, "prng_key": key},
                 )
 

@@ -8,6 +8,8 @@ over the training curve (resultAnalysis.ipynb cells 4-24)."""
 
 import pickle
 
+import pytest
+
 import jax
 import numpy as np
 
@@ -97,3 +99,47 @@ def test_driver_tracks_best(tmp_path):
         d = pickle.load(f)
     assert np.isfinite(d["best_metric"])
     assert "params" in d and "inner_lrs" in d
+
+
+@pytest.mark.slow
+def test_driver_best_metric_median(tmp_path):
+    """--train.best_metric=rel_err_median makes the driver track the
+    per-task median (robust on branch-multistable families, RESULTS.md
+    round-4 per-task diagnostic) instead of the reference-parity mean."""
+    import dataclasses
+    import json
+    import os
+
+    from metapde_tpu.config import (
+        Config, FieldConfig, MamlConfig, TaskConfig, TrainConfig,
+    )
+    from metapde_tpu.train import maml_driver
+
+    cfg = Config(
+        task=TaskConfig(pde="poisson", inner_points=32, outer_points=32,
+                        validation_points=32, n_eval=3),
+        model=FieldConfig(num_layers=2, layer_size=16),
+        maml=MamlConfig(bsize=2, inner_steps=2),
+        solver=dataclasses.replace(Config().solver,
+                                   ground_truth_resolution=4),
+        train=TrainConfig(
+            outer_steps=3, log_every=1, viz_every=0, checkpoint_every=2,
+            steps_per_call=1, out_dir=str(tmp_path), expt_name="bm",
+            best_metric="rel_err_median",
+        ),
+    )
+    maml_driver.run(cfg)
+    run_dir = os.path.join(str(tmp_path), "bm")
+    with open(ckpt.best_checkpoint(run_dir), "rb") as f:
+        best = pickle.load(f)
+    medians = []
+    with open(os.path.join(run_dir, "metrics.jsonl")) as f:
+        for line in f:
+            d = json.loads(line)
+            if "val_rel_err_median" in d:
+                medians.append(d["val_rel_err_median"])
+    assert medians, "no validation rows logged"
+    assert any(abs(best["best_metric"] - m) < 1e-9 for m in medians)
+    assert best["best_metric"] == min(
+        m for m in medians if m == m
+    )
