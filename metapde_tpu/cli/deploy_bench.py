@@ -197,6 +197,7 @@ def run(cfg: Config, algo: str = "maml", inner_steps_list=(0, 1, 2, 5, 10, 20),
             }
         row = {
             "inner_steps": int(k),
+            "n_eval": int(cfg.task.n_eval),
             "checkpoint": os.path.basename(fname),
             "checkpoint_step": int(state.get("step", -1)),
             # multi-start deployment (train/multistart.py) composes through
@@ -231,6 +232,10 @@ def run(cfg: Config, algo: str = "maml", inner_steps_list=(0, 1, 2, 5, 10, 20),
     # bench must not clobber the default-precision rows)
     if cfg.model.compute_dtype:
         suffix += f"_{cfg.model.compute_dtype}"
+    # non-standard task-draw sizes likewise: the committed history is
+    # 8-task sweeps, and a 24-task rerun must not clobber those rows
+    if cfg.task.n_eval != 8:
+        suffix += f"_n{cfg.task.n_eval}"
     # suffix keyed on the checkpoint actually benched, not the requested
     # one: a --checkpoint=best run that fell back to latest must not write
     # latest-checkpoint rows into deploy_bench_best.jsonl (ADVICE r2)
