@@ -78,6 +78,14 @@ class GroundTruthCache:
                    **(extra_hparams or {})}
         key = _key(pde.name, hparams, params, key_material=key_material)
         path = os.path.join(self.cache_dir, f"{pde.name}_{key}.pickle")
+        # Host-ify task params up front (they are a handful of scalars).
+        # The CPU-fallback path below re-solves with these; if they stayed
+        # device-committed, the retry's jit would try to copy them back to
+        # the just-crashed TPU worker and die with the same UNAVAILABLE
+        # error it is trying to recover from (observed: poisson res-32
+        # kernel fault during a deploy bench, round 4).
+        params = jax.tree_util.tree_map(
+            lambda x: np.asarray(jax.device_get(x)), params)
         if os.path.exists(path):
             with open(path, "rb") as f:
                 stored = pickle.load(f)

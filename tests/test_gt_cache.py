@@ -98,6 +98,11 @@ class FaultingPde:
 
     def solve(self, params, resolution):
         self.attempts += 1
+        # params must reach the solver as host numpy, not device arrays:
+        # when the first attempt crashed the TPU worker, device-committed
+        # params would make the CPU retry copy back to the dead device
+        # (observed in the round-4 lp2 deploy bench)
+        assert isinstance(params, np.ndarray)
         if self.attempts == 1:
             raise RuntimeError("TPU worker process crashed or restarted")
         return {"u": jnp.asarray(params, jnp.float32) + resolution}
