@@ -110,9 +110,19 @@ class GroundTruthCache:
                 gt = pde.solve(params, resolution=resolution)
                 host = jax.tree_util.tree_map(
                     lambda x: np.asarray(jax.device_get(x)), gt)
+            # Persist BEFORE re-uploading to the default device: when the
+            # first attempt crashed the whole TPU worker, the jnp.asarray
+            # below dies too (dead default device) — caching first means
+            # the process-level retry skips the faulting solve entirely
+            # (observed: round-4 lp2 bench, where the un-cached fallback
+            # re-faulted on every attempt).
+            leaves, treedef = jax.tree_util.tree_flatten(host)
+            with open(path, "wb") as f:
+                pickle.dump({"leaves": leaves, "treedef": treedef}, f,
+                            protocol=pickle.HIGHEST_PROTOCOL)
             # hand uncommitted host leaves downstream (a CPU-committed tree
             # would pin later vmap'd evaluate_gt to the CPU backend)
-            gt = jax.tree_util.tree_map(jnp.asarray, host)
+            return jax.tree_util.tree_map(jnp.asarray, host)
         leaves, treedef = jax.tree_util.tree_flatten(host)
         with open(path, "wb") as f:
             pickle.dump({"leaves": leaves, "treedef": treedef}, f,
