@@ -116,24 +116,19 @@ PO_ARGS=(
   --train.checkpoint_every=30000
   --train.out_dir=results_poisson_maml
 )
-run_probe() {  # est name extra...
-  local EST=$1 NAME=$2; shift 2
-  if [ -f "results_poisson_maml/$NAME/metrics.jsonl" ] && \
-     tail -1 "results_poisson_maml/$NAME/metrics.jsonl" | grep -q '"step": 29999'; then
-    echo "queue23: probe $NAME already complete; skip"; return 0
-  fi
-  fits "$EST" || return 1
-  echo "queue23: probe $NAME at $(date)"
-  for ATTEMPT in 1 2; do
-    timeout 2700 python -m metapde_tpu.cli.maml_pde "${PO_ARGS[@]}" \
-      --train.expt_name="$NAME" "$@" && return 0
-    echo "queue23: probe $NAME attempt $ATTEMPT failed; sleeping 60s"
-    sleep 60
-  done
-}
-run_probe 1800 p30k_f32_s1 --seed=1
-run_probe 1800 p30k_f32_s2 --seed=2
-run_probe 1800 p30k_f32_s3 --seed=3
+# probes run as supervised chunks: the 22:30 wedge stalled a bare probe at
+# step 14k with no checkpoint to resume from (checkpoint_every was 30000);
+# run_chunk's supervise wrapper stall-detects and resumes from 5k-step
+# checkpoints instead of losing the whole attempt.
+run_chunk 2300 results_poisson_maml p30k_f32_s1 30001 500 5000 -- \
+  python -m metapde_tpu.cli.maml_pde "${PO_ARGS[@]}" \
+    --train.expt_name=p30k_f32_s1 --seed=1
+run_chunk 2300 results_poisson_maml p30k_f32_s2 30001 500 5000 -- \
+  python -m metapde_tpu.cli.maml_pde "${PO_ARGS[@]}" \
+    --train.expt_name=p30k_f32_s2 --seed=2
+run_chunk 2300 results_poisson_maml p30k_f32_s3 30001 500 5000 -- \
+  python -m metapde_tpu.cli.maml_pde "${PO_ARGS[@]}" \
+    --train.expt_name=p30k_f32_s3 --seed=3
 bash pipeline/commit_ckpts.sh "parity probes f32 s1-s3"
 
 # ---- S3: width-128 Pareto arms (item 3) -------------------------------------
