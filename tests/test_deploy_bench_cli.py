@@ -48,16 +48,19 @@ def test_output_file_routing(tmp_path):
     cfg, run_dir = _train_tiny(tmp_path, "db")
     bcfg = _bench_cfg(cfg, run_dir)
 
-    # default protocol -> deploy_bench.jsonl
+    # non-8-task sweeps are suffixed _n<k> (the committed history is 8-task
+    # sweeps; a different task-draw size must not clobber those rows) and
+    # rows are self-describing
     rows = deploy_bench.run(bcfg, inner_steps_list=(0, 1), repeats=1)
-    assert os.path.exists(os.path.join(run_dir, "deploy_bench.jsonl"))
+    assert os.path.exists(os.path.join(run_dir, "deploy_bench_n1.jsonl"))
     assert rows[0]["checkpoint"].startswith("checkpoint_step")
+    assert rows[0]["n_eval"] == 1
 
     # --checkpoint=best with a best file -> _best suffix, best file benched
     assert ckpt.best_checkpoint(run_dir) is not None
     rows = deploy_bench.run(bcfg, inner_steps_list=(0,), repeats=1,
                             which="best")
-    best_out = os.path.join(run_dir, "deploy_bench_best.jsonl")
+    best_out = os.path.join(run_dir, "deploy_bench_n1_best.jsonl")
     assert os.path.exists(best_out)
     assert json.loads(open(best_out).read())["checkpoint"] == ckpt.BEST_NAME
 
@@ -66,10 +69,12 @@ def test_output_file_routing(tmp_path):
         bcfg, model=dataclasses.replace(bcfg.model, compute_dtype="bfloat16")
     )
     rows = deploy_bench.run(b16, inner_steps_list=(0,), repeats=1)
-    assert os.path.exists(os.path.join(run_dir, "deploy_bench_bfloat16.jsonl"))
+    assert os.path.exists(
+        os.path.join(run_dir, "deploy_bench_bfloat16_n1.jsonl"))
     assert rows[0]["compute_dtype"] == "bfloat16"
     # default-precision rows untouched by the variant run
-    assert len(open(os.path.join(run_dir, "deploy_bench.jsonl")).readlines()) == 2
+    assert len(open(
+        os.path.join(run_dir, "deploy_bench_n1.jsonl")).readlines()) == 2
 
 
 @pytest.mark.slow
@@ -82,6 +87,7 @@ def test_best_fallback_never_mislabels(tmp_path):
     rows = deploy_bench.run(bcfg, inner_steps_list=(0,), repeats=1,
                             which="best")
     # fell back to latest: rows land in the PLAIN file, never _best
-    assert not os.path.exists(os.path.join(run_dir, "deploy_bench_best.jsonl"))
-    assert os.path.exists(os.path.join(run_dir, "deploy_bench.jsonl"))
+    assert not os.path.exists(
+        os.path.join(run_dir, "deploy_bench_n1_best.jsonl"))
+    assert os.path.exists(os.path.join(run_dir, "deploy_bench_n1.jsonl"))
     assert rows[0]["checkpoint"].startswith("checkpoint_step")
