@@ -12,9 +12,15 @@ task and rel error vs the on-device FEM/FV ground truth.
         --train.load_model_from_expt=results_poisson_maml/tpu_run5 \
         --inner-steps-list=0,1,2,5,10,20 --task.n_eval=8
 
-Writes deploy_bench.jsonl (one line per k) into the checkpoint dir and
-prints the table to stdout. Timing uses a device->host fetch as the
-barrier (see RESULTS.md timing-methodology note).
+Writes deploy_bench<suffix>.jsonl (one line per k) into the checkpoint
+dir and prints the table to stdout, where <suffix> is
+``[_<deploy.optimizer>][_<compute_dtype>]_n<n_eval>[_best]`` — e.g. the
+default protocol on an 8-task draw from the best checkpoint lands at
+``deploy_bench_n8_best.jsonl``. Plain ``deploy_bench.jsonl`` files in
+committed run dirs are frozen legacy rows from before the suffix scheme
+(they mix 4- and 8-task draws and carry no n_eval field); new runs never
+write them. Timing uses a device->host fetch as the barrier (see
+RESULTS.md timing-methodology note).
 """
 
 import json
@@ -34,24 +40,15 @@ from ..train.validation import get_ground_truth, make_validation_fn
 from ..utils.trees import tree_unstack
 
 
+from ..train.energy import domain_energy, gt_field
+
+_gt_field = gt_field  # canonical home is train/energy.py (also used by
+                      # branch-aware training validation, maml_driver)
+
+
 def _domain_energy(pde, field_fn, points, task_params):
-    """Sum of the domain loss terms (for hyperelasticity: the MC neo-Hookean
-    energy) — the branch-mismatch diagnostic quantity."""
-    _, dom = pde.loss_fn(field_fn, points, task_params)
-    return float(sum(jnp.asarray(v) for v in dom.values()))
-
-
-def _gt_field(pde, gt):
-    """Wrap a ground-truth pytree as a batched field callable so it can be
-    scored through the same MC loss estimator as the model (apples-to-apples;
-    a P1-interpolated field carries estimator bias near kinks, so compare
-    fields through ONE estimator, never MC-vs-FEM-quadrature)."""
-    def f(x):
-        x = jnp.asarray(x)
-        if x.ndim == 1:
-            return pde.evaluate_gt(gt, x)
-        return jax.vmap(lambda xi: pde.evaluate_gt(gt, xi))(x)
-    return f
+    """Host-float wrapper over train.energy.domain_energy."""
+    return float(domain_energy(pde, field_fn, points, task_params))
 
 
 def run(cfg: Config, algo: str = "maml", inner_steps_list=(0, 1, 2, 5, 10, 20),
@@ -232,10 +229,11 @@ def run(cfg: Config, algo: str = "maml", inner_steps_list=(0, 1, 2, 5, 10, 20),
     # bench must not clobber the default-precision rows)
     if cfg.model.compute_dtype:
         suffix += f"_{cfg.model.compute_dtype}"
-    # non-standard task-draw sizes likewise: the committed history is
-    # 8-task sweeps, and a 24-task rerun must not clobber those rows
-    if cfg.task.n_eval != 8:
-        suffix += f"_n{cfg.task.n_eval}"
+    # the task-draw size is ALWAYS in the name (ADVICE r4): the committed
+    # unsuffixed history mixes 8- and 4-task sweeps with no n_eval field to
+    # tell them apart, so unsuffixed files are frozen legacy — every new
+    # bench writes _n<k> and can never clobber a legacy row
+    suffix += f"_n{cfg.task.n_eval}"
     # suffix keyed on the checkpoint actually benched, not the requested
     # one: a --checkpoint=best run that fell back to latest must not write
     # latest-checkpoint rows into deploy_bench_best.jsonl (ADVICE r2)

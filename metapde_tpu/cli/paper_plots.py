@@ -7,15 +7,19 @@ of regex-scraped logs:
 
 - classical solver sweep: errors_by_resolution.json written by
   cli/solver_baseline (train/baseline_driver.py)
-- NN deployment k-sweep: deploy_bench.jsonl written by cli/deploy_bench
-  (one row per inner-step count: time_per_task_s, val_rel_err...)
+- NN deployment k-sweep: deploy_bench_n<k>[_best].jsonl written by
+  cli/deploy_bench (one row per inner-step count: time_per_task_s,
+  val_rel_err...). New benches always carry the _n<k> task-count suffix
+  (plus optional _<optimizer>/_<dtype>/_best parts); bare
+  deploy_bench.jsonl files are frozen pre-suffix legacy rows — pass
+  whichever file you mean explicitly.
 
 Usage:
     python -m metapde_tpu.cli.paper_plots --out=figures \
         --title="Poisson" --name=pareto_poisson \
         --baseline=poisson_solver_baseline/sweep \
-        --deploy=MAML:results_poisson_maml/tpu_run6b/deploy_bench.jsonl \
-        --deploy=LEAP:results_poisson_leap/lp2/deploy_bench.jsonl \
+        --deploy=MAML:results_poisson_maml/tpu_run6b/deploy_bench_n8_best.jsonl \
+        --deploy=LEAP:results_poisson_leap/lp2_4/deploy_bench_n8_best.jsonl \
         --ref-point="FEniCS res 8:1.04:4.3e-5" ...
 
 Each --deploy may be LABEL:path; --ref-point adds published reference numbers

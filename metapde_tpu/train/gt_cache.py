@@ -66,6 +66,20 @@ def _key(pde_name: str, hparams: dict, params, key_material=None) -> str:
     return h.hexdigest()[:24]
 
 
+def _dump_atomic(path: str, obj) -> None:
+    """Write a cache pickle atomically (temp file + os.replace).
+
+    The CPU-fallback path exists precisely because the TPU worker crash can
+    kill this process moments later (ADVICE r4, medium): a plain open/dump
+    interrupted mid-write leaves a truncated pickle that would poison every
+    later load. os.replace is atomic on the same filesystem, so readers see
+    either nothing or a complete entry."""
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "wb") as f:
+        pickle.dump(obj, f, protocol=pickle.HIGHEST_PROTOCOL)
+    os.replace(tmp, path)
+
+
 class GroundTruthCache:
     def __init__(self, cache_dir: str):
         self.cache_dir = cache_dir
@@ -87,13 +101,22 @@ class GroundTruthCache:
         params = jax.tree_util.tree_map(
             lambda x: np.asarray(jax.device_get(x)), params)
         if os.path.exists(path):
-            with open(path, "rb") as f:
-                stored = pickle.load(f)
-            leaves, treedef = stored["leaves"], stored["treedef"]
-            # re-wrap as device arrays: numpy leaves break traced indexing
-            # (vmap'd evaluate_gt) downstream
-            leaves = [jnp.asarray(l) for l in leaves]
-            return jax.tree_util.tree_unflatten(treedef, leaves)
+            try:
+                with open(path, "rb") as f:
+                    stored = pickle.load(f)
+            except (EOFError, pickle.UnpicklingError, KeyError) as e:
+                # Corrupt entry (e.g. written by a pre-atomic-write version
+                # that died mid-dump): delete and fall through to re-solve
+                # rather than failing every retry forever.
+                print(f"gt_cache: corrupt entry {path} "
+                      f"({type(e).__name__}); deleting and re-solving")
+                os.remove(path)
+            else:
+                leaves, treedef = stored["leaves"], stored["treedef"]
+                # re-wrap as device arrays: numpy leaves break traced
+                # indexing (vmap'd evaluate_gt) downstream
+                leaves = [jnp.asarray(l) for l in leaves]
+                return jax.tree_util.tree_unflatten(treedef, leaves)
         try:
             gt = pde.solve(params, resolution=resolution)
             host = jax.tree_util.tree_map(lambda x: jax.device_get(x), gt)
@@ -117,14 +140,10 @@ class GroundTruthCache:
             # (observed: round-4 lp2 bench, where the un-cached fallback
             # re-faulted on every attempt).
             leaves, treedef = jax.tree_util.tree_flatten(host)
-            with open(path, "wb") as f:
-                pickle.dump({"leaves": leaves, "treedef": treedef}, f,
-                            protocol=pickle.HIGHEST_PROTOCOL)
+            _dump_atomic(path, {"leaves": leaves, "treedef": treedef})
             # hand uncommitted host leaves downstream (a CPU-committed tree
             # would pin later vmap'd evaluate_gt to the CPU backend)
             return jax.tree_util.tree_map(jnp.asarray, host)
         leaves, treedef = jax.tree_util.tree_flatten(host)
-        with open(path, "wb") as f:
-            pickle.dump({"leaves": leaves, "treedef": treedef}, f,
-                        protocol=pickle.HIGHEST_PROTOCOL)
+        _dump_atomic(path, {"leaves": leaves, "treedef": treedef})
         return gt  # the device-resident tree, not the pickled host copy

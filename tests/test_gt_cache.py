@@ -136,3 +136,42 @@ def test_fault_fallback_propagates_double_failure(tmp_path):
     with pytest.raises(RuntimeError, match="still broken"):
         cache.get_or_solve(DeadPde(), jnp.asarray([1.0]), 8,
                            key_material=np.asarray([0, 9], np.uint32))
+
+
+def test_corrupt_entry_deleted_and_resolved(tmp_path, capsys):
+    """ADVICE r4 (medium): a truncated pickle (process killed mid-dump by
+    the very TPU-worker crash the fallback path handles) must not poison
+    every later load — the corrupt file is deleted and the solve re-runs."""
+    import os
+
+    cache = GroundTruthCache(str(tmp_path))
+    pde = FakePde()
+    km = np.asarray([0, 11], np.uint32)
+    params = jnp.asarray([2.0])
+    g1 = cache.get_or_solve(pde, params, 4, key_material=km)
+    assert pde.solves == 1
+    (entry,) = [p for p in os.listdir(tmp_path) if p.endswith(".pickle")]
+    path = os.path.join(str(tmp_path), entry)
+    with open(path, "rb") as f:
+        good = f.read()
+    with open(path, "wb") as f:
+        f.write(good[: len(good) // 2])  # truncate = interrupted dump
+    g2 = cache.get_or_solve(pde, params, 4, key_material=km)
+    assert pde.solves == 2, "corrupt entry was not re-solved"
+    assert np.allclose(np.asarray(g1["u"]), np.asarray(g2["u"]))
+    assert "corrupt entry" in capsys.readouterr().out
+    # the re-solve rewrote a loadable entry
+    g3 = cache.get_or_solve(pde, params, 4, key_material=km)
+    assert pde.solves == 2
+
+
+def test_cache_write_is_atomic_no_tmp_left(tmp_path):
+    """_dump_atomic leaves no .tmp droppings and the entry round-trips."""
+    import os
+
+    cache = GroundTruthCache(str(tmp_path))
+    pde = FakePde()
+    cache.get_or_solve(pde, jnp.asarray([3.0]), 2,
+                       key_material=np.asarray([1, 2], np.uint32))
+    names = os.listdir(tmp_path)
+    assert not [n for n in names if ".tmp." in n]
