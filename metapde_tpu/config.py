@@ -244,6 +244,14 @@ class TrainConfig:
     # quality. Default stays "rel_err" so existing chains' best files
     # remain comparable.
     best_metric: str = "rel_err"
+    # energy-gated branch-aware validation (train/energy.py; generalizes
+    # the reference's mirror-min disambiguation trainer_util.py:525-549):
+    # per eval task, compare the adapted model's MC domain energy against
+    # the oracle field's through the same estimator on fixed audit points;
+    # tasks at energy parity with rel err above threshold are flagged
+    # branch-divergent and excluded from the logged val_rel_err_branch.
+    # Adds one deploy rollout + loss eval per task per validation.
+    branch_aware_val: bool = False
 
 
 @dataclass(frozen=True)

@@ -379,12 +379,53 @@ def run(cfg: Config):
         cache_keys=gt_keys,
     )
 
+    # Branch-aware validation (cfg.train.branch_aware_val; VERDICT r4 item
+    # 5): compute each eval task's oracle domain energy ONCE through the MC
+    # estimator on fixed audit points, and per validation call compare the
+    # adapted model's energy on the same points — flagged tasks (energy
+    # parity + high rel err = different legitimate solution branch) are
+    # excluded from rel_err_branch so elasticity val curves separate
+    # optimization error from branch roulette in-stream (train/energy.py).
+    branch_kwargs = {}
+    if cfg.train.branch_aware_val:
+        from ..utils.trees import tree_unstack
+        from .energy import domain_energy, gt_field
+
+        gt_params_list = tree_unstack(bundle.gt_params)
+        audit_pts_list = [
+            pde.sample_points(jax.random.PRNGKey(31 + i),
+                              cfg.task.validation_points, tp)
+            for i, tp in enumerate(gt_params_list)
+        ]
+        oracle_E = jnp.asarray([
+            domain_energy(pde, gt_field(pde, g), p, tp)
+            for g, p, tp in zip(bundle.gts, audit_pts_list, gt_params_list)
+        ])
+        audit_pts = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *audit_pts_list
+        )
+        loss_fn, field = c["loss_fn"], c["field"]
+
+        def energy_fn(e_key, model, task_params, pts):
+            fp = c["deploy_final_model"](
+                e_key, model, task_params, cfg.maml.inner_steps
+            )
+            return domain_energy(pde, field.bind(fp), pts, task_params)
+
+        branch_kwargs = dict(
+            energy_fn=energy_fn, audit_points=audit_pts,
+            oracle_energy=oracle_E,
+        )
+        log(f"branch-aware validation on: oracle energies "
+            f"{[round(float(e), 5) for e in oracle_E]}")
+
     validation_fn = make_validation_fn(
         pde,
         partial(c["make_coef_func"], inner_steps=cfg.maml.inner_steps),
         cfg.task.n_eval,
         num_tsteps=cfg.task.num_tsteps if cfg.task.pde == "td_burgers" else None,
         symmetry=cfg.task.pde == "hyper_elasticity",
+        **branch_kwargs,
     )
 
     train_step = c["train_step"]
@@ -491,14 +532,25 @@ def run(cfg: Config):
                     meta_grad_norm=meta_grad_norm,
                     step_time=step_time,
                     per_step_losses=np.mean(np.asarray(losses), axis=0),
+                    **({} if val.rel_err_branch is None else dict(
+                        val_rel_err_branch=val.rel_err_branch,
+                        val_branch_flags=val.branch_flags,
+                        val_branch_mask=np.asarray(
+                            val.branch_mask).astype(int),
+                    )),
                 )
             if path is not None:
                 # meta-training quality is not monotone in steps (measured
                 # em5 regression, RESULTS.md); keep the best-val state
                 # durable. save_best_checkpoint no-ops unless improved.
-                best_val = (val.rel_err_median
-                            if cfg.train.best_metric == "rel_err_median"
-                            else val.rel_err)
+                best_val = {
+                    "rel_err_median": val.rel_err_median,
+                    # energy-gated mean (requires branch_aware_val; falls
+                    # back to the plain mean when the audit is off)
+                    "rel_err_branch": (val.rel_err_branch
+                                       if val.rel_err_branch is not None
+                                       else val.rel_err),
+                }.get(cfg.train.best_metric, val.rel_err)
                 ckpt.save_best_checkpoint(path, log_step, float(best_val), {
                     "params": params, "inner_lrs": inner_lrs,
                     "opt_state": opt_state, "lr_opt_state": lr_opt_state,

@@ -100,6 +100,14 @@ class ValidationResult(NamedTuple):
     # 90th percentile of per-task rel err: quantifies the heavy tail that
     # dominates the mean on pore-geometry families (a few hard geometries)
     rel_err_p90: jnp.ndarray = None
+    # branch-aware metrics (energy-gated; train/energy.py): mean per-task
+    # rel err EXCLUDING tasks flagged as branch-divergent (model domain
+    # energy <= oracle's through the same MC estimator AND rel err above
+    # threshold — there rel_err measures branch disagreement, not solution
+    # quality). None unless make_validation_fn got an energy_fn.
+    rel_err_branch: jnp.ndarray = None
+    branch_flags: jnp.ndarray = None   # count of flagged tasks
+    branch_mask: jnp.ndarray = None    # [n_eval] bool, True = flagged
 
 
 def make_validation_fn(
@@ -108,13 +116,32 @@ def make_validation_fn(
     n_eval: int,
     num_tsteps: Optional[int] = None,
     symmetry: bool = False,
+    energy_fn: Optional[Callable] = None,
+    audit_points=None,
+    oracle_energy=None,
+    branch_margin: float = 1.02,
+    branch_err_threshold: float = 0.1,
 ):
     """Build a jitted validation-error function.
 
     make_coef_func: (key, model, task_params, coords) -> [V] or [V, out]
     values of the adapted model at coords (reference make_coef_func,
     maml_pde.py:186-193).
+
+    Branch-aware validation (generalizing the reference's mirror-min
+    disambiguation, trainer_util.py:525-549 — see train/energy.py): pass
+    energy_fn(key, model, task_params_i, pts_i) -> scalar model domain
+    energy, audit_points (per-task stacked points pytree, fixed across
+    calls), and oracle_energy [n_eval] (the ground-truth field's energy
+    through the SAME estimator on the SAME points). A task is flagged
+    branch-divergent when the adapted model matches/beats the oracle's
+    energy within branch_margin while its rel err exceeds
+    branch_err_threshold; rel_err_branch excludes flagged tasks from the
+    mean so optimization error separates from branch roulette in-stream.
     """
+    branch_aware = energy_fn is not None
+    if branch_aware:
+        oracle_energy = jnp.asarray(oracle_energy)
 
     def validation_error(model, gt_params, coords, gt_vals) -> ValidationResult:
         keys = jax.random.split(jax.random.PRNGKey(0), n_eval)
@@ -168,17 +195,38 @@ def make_validation_fn(
                 )
             t_rel = jnp.stack(t_errs)
 
+        per_task_rel = jnp.mean(rel_sq_err, axis=(1, 2))
+
+        rel_err_branch = branch_flags = branch_mask = None
+        if branch_aware:
+            e_keys = jax.random.split(jax.random.PRNGKey(2), n_eval)
+            model_E = jax.vmap(energy_fn, (0, None, 0, 0))(
+                e_keys, model, gt_params, audit_points
+            )
+            branch_mask = (model_E <= oracle_energy * branch_margin) & (
+                per_task_rel > branch_err_threshold
+            )
+            keep = ~branch_mask
+            n_keep = jnp.maximum(jnp.sum(keep), 1)
+            rel_err_branch = jnp.where(
+                jnp.any(keep),
+                jnp.sum(jnp.where(keep, per_task_rel, 0.0)) / n_keep,
+                jnp.mean(per_task_rel),  # all flagged: fall back to mean
+            )
+            branch_flags = jnp.sum(branch_mask)
+
         return ValidationResult(
             mse=mse,
             norms=jnp.mean(normalizer, axis=(0, 1)),
             rel_err=jnp.mean(rel_sq_err),
             per_dim_rel_err=jnp.mean(rel_sq_err, axis=(0, 1)),
-            rel_err_std=jnp.std(jnp.mean(rel_sq_err, axis=(1, 2))),
+            rel_err_std=jnp.std(per_task_rel),
             t_rel_sq_err=t_rel,
-            rel_err_median=jnp.median(jnp.mean(rel_sq_err, axis=(1, 2))),
-            rel_err_p90=jnp.percentile(
-                jnp.mean(rel_sq_err, axis=(1, 2)), 90.0
-            ),
+            rel_err_median=jnp.median(per_task_rel),
+            rel_err_p90=jnp.percentile(per_task_rel, 90.0),
+            rel_err_branch=rel_err_branch,
+            branch_flags=branch_flags,
+            branch_mask=branch_mask,
         )
 
     return jax.jit(validation_error)
