@@ -260,12 +260,27 @@ def run(cfg: Config):
         cache_extra=task_cache_extra(cfg.task),
         cache_keys=gt_keys,
     )
+    # branch-aware validation (cfg.train.branch_aware_val): energy-gated
+    # rel err — see maml_driver + train/energy.py; elasticity LEAP shares
+    # the post-buckling branch-roulette hazard
+    branch_kwargs = {}
+    if cfg.train.branch_aware_val:
+        from .energy import make_branch_kwargs
+
+        branch_kwargs = make_branch_kwargs(
+            pde, bundle, c["deploy_final_model"], c["field"],
+            cfg.leap.inner_steps, cfg.task.validation_points,
+        )
+        log(f"branch-aware validation on: oracle energies "
+            f"{[round(float(e), 5) for e in branch_kwargs['oracle_energy']]}")
+
     validation_fn = make_validation_fn(
         pde,
         partial(c["make_coef_func"], inner_steps=cfg.leap.inner_steps),
         cfg.task.n_eval,
         num_tsteps=cfg.task.num_tsteps if cfg.task.pde == "td_burgers" else None,
         symmetry=cfg.task.pde == "hyper_elasticity",
+        **branch_kwargs,
     )
 
     train_step = c["train_step"]
@@ -348,13 +363,22 @@ def run(cfg: Config):
                     meta_grad_norm=meta_grad_norm,
                     step_time=step_time,
                     per_step_losses=np.mean(np.asarray(losses), axis=0),
+                    **({} if val.rel_err_branch is None else dict(
+                        val_rel_err_branch=val.rel_err_branch,
+                        val_branch_flags=val.branch_flags,
+                        val_branch_mask=np.asarray(
+                            val.branch_mask).astype(int),
+                    )),
                 )
             if path is not None:
                 # best-val state stays durable (quality is not monotone in
                 # steps — see checkpoints.save_best_checkpoint)
-                best_val = (val.rel_err_median
-                            if cfg.train.best_metric == "rel_err_median"
-                            else val.rel_err)
+                best_val = {
+                    "rel_err_median": val.rel_err_median,
+                    "rel_err_branch": (val.rel_err_branch
+                                       if val.rel_err_branch is not None
+                                       else val.rel_err),
+                }.get(cfg.train.best_metric, val.rel_err)
                 ckpt.save_best_checkpoint(path, log_step, float(best_val), {
                     "params": params, "opt_state": opt_state, "prng_key": key,
                     "gt_key": gt_key, "gt_points_key": gt_points_key,

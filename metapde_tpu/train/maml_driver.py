@@ -388,36 +388,14 @@ def run(cfg: Config):
     # optimization error from branch roulette in-stream (train/energy.py).
     branch_kwargs = {}
     if cfg.train.branch_aware_val:
-        from ..utils.trees import tree_unstack
-        from .energy import domain_energy, gt_field
+        from .energy import make_branch_kwargs
 
-        gt_params_list = tree_unstack(bundle.gt_params)
-        audit_pts_list = [
-            pde.sample_points(jax.random.PRNGKey(31 + i),
-                              cfg.task.validation_points, tp)
-            for i, tp in enumerate(gt_params_list)
-        ]
-        oracle_E = jnp.asarray([
-            domain_energy(pde, gt_field(pde, g), p, tp)
-            for g, p, tp in zip(bundle.gts, audit_pts_list, gt_params_list)
-        ])
-        audit_pts = jax.tree_util.tree_map(
-            lambda *xs: jnp.stack(xs), *audit_pts_list
-        )
-        loss_fn, field = c["loss_fn"], c["field"]
-
-        def energy_fn(e_key, model, task_params, pts):
-            fp = c["deploy_final_model"](
-                e_key, model, task_params, cfg.maml.inner_steps
-            )
-            return domain_energy(pde, field.bind(fp), pts, task_params)
-
-        branch_kwargs = dict(
-            energy_fn=energy_fn, audit_points=audit_pts,
-            oracle_energy=oracle_E,
+        branch_kwargs = make_branch_kwargs(
+            pde, bundle, c["deploy_final_model"], c["field"],
+            cfg.maml.inner_steps, cfg.task.validation_points,
         )
         log(f"branch-aware validation on: oracle energies "
-            f"{[round(float(e), 5) for e in oracle_E]}")
+            f"{[round(float(e), 5) for e in branch_kwargs['oracle_energy']]}")
 
     validation_fn = make_validation_fn(
         pde,

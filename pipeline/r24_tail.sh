@@ -14,6 +14,9 @@
 cd "$(dirname "$0")/.."
 set -u
 HARD_STOP=$1
+# live override: lets the operator extend/shrink the tail window after the
+# queue launched (the queue's HARD_STOP was captured at launch time)
+[ -f pipeline/r24_hard_stop ] && HARD_STOP=$(cat pipeline/r24_hard_stop)
 
 fits() {
   local LEFT=$(( HARD_STOP - $(date +%s) ))
@@ -62,8 +65,11 @@ if [ ! -f "$FRONTIER" ] && fits 2700; then
   for CELL in "16 64 100" "64 64 50" "256 64 25" \
               "16 128 50" "64 128 25" "256 128 25"; do
     set -- $CELL; BS=$1; W=$2; BLK=$3
+    # per-cell window guard: big cells pay a multi-minute compile (the
+    # cost-analysis lowering fully unrolls the inner scan)
+    fits 1300 || break
     echo "r24_tail: frontier cell bsize=$BS width=$W at $(date)"
-    timeout 900 python -m metapde_tpu.cli.roofline \
+    timeout 1200 python -m metapde_tpu.cli.roofline \
       --bsize="$BS" --layer_size="$W" --compute_dtype=bfloat16 \
       --fast_sampler --no_remat --unroll=5 \
       --block="$BLK" --blocks=5 >> "$FRONTIER.tmp" \

@@ -98,19 +98,23 @@ def test_branch_metrics_absent_when_audit_off():
 
 
 @pytest.mark.slow
-def test_driver_logs_branch_metrics(tmp_path):
+@pytest.mark.parametrize("algo", ["maml", "leap"])
+def test_driver_logs_branch_metrics(tmp_path, algo):
     """End-to-end: cfg.train.branch_aware_val wires oracle energies +
-    per-validation model energies into metrics.jsonl."""
+    per-validation model energies into metrics.jsonl (both drivers)."""
     from metapde_tpu.config import (
-        Config, FieldConfig, MamlConfig, TaskConfig, TrainConfig,
+        Config, FieldConfig, LeapConfig, MamlConfig, TaskConfig,
+        TrainConfig,
     )
-    from metapde_tpu.train import maml_driver
+    from metapde_tpu.train import leap_driver, maml_driver
 
+    driver = {"maml": maml_driver, "leap": leap_driver}[algo]
     cfg = Config(
         task=TaskConfig(pde="poisson", inner_points=32, outer_points=32,
                         validation_points=32, n_eval=2),
         model=FieldConfig(num_layers=2, layer_size=16),
         maml=MamlConfig(bsize=2, inner_steps=2),
+        leap=LeapConfig(bsize=2, inner_steps=2),
         solver=dataclasses.replace(
             Config().solver, ground_truth_resolution=4
         ),
@@ -120,7 +124,7 @@ def test_driver_logs_branch_metrics(tmp_path):
             branch_aware_val=True,
         ),
     )
-    maml_driver.run(cfg)
+    driver.run(cfg)
     with open(os.path.join(str(tmp_path), "bav", "metrics.jsonl")) as f:
         rows = [json.loads(l) for l in f if l.strip()]
     assert rows, "no metrics written"
