@@ -38,8 +38,7 @@ DEFAULT_ROWS = [
      4e-4, "same"),
     ("Poisson LEAP",
      "results_poisson_leap/tpu_run1+results_poisson_leap/tpu_run1_1"
-     "+results_poisson_leap/lp2_4+results_poisson_leap/lp3"
-     "+results_poisson_leap/lp3_1",
+     "+results_poisson_leap/lp2_4+results_poisson_leap/lp3*",
      1e-3, "500k-step protocol (pipeline_leap_meta.sh)"),
     ("TD-Burgers MAML",
      "results_burgers_maml/tpu_run1+results_burgers_maml/bm6"
@@ -52,8 +51,7 @@ DEFAULT_ROWS = [
     ("Hyperelasticity MAML",
      "results_elasticity_maml/tpu_run1+results_elasticity_maml/em5"
      "+results_elasticity_maml/em5_1"
-     "+results_elasticity_maml/em6+results_elasticity_maml/em7"
-     "+results_elasticity_maml/em7_1",
+     "+results_elasticity_maml/em6+results_elasticity_maml/em7*",
      2e-3, "500k-step protocol"),
     ("Hyperelasticity LEAP",
      "results_elasticity_leap/lde1+results_elasticity_leap/lde1_1"
@@ -65,9 +63,19 @@ DEFAULT_ROWS = [
 
 def scan_chain(chain: str, metric: str):
     """Yield (step, value, step_time) rows across a continuation chain,
-    monotone in step (later dirs win on overlap)."""
+    monotone in step. Chain elements may be globs (`em7*` covers the
+    supervisor's suffixed resume dirs em7, em7_1, ...); on overlapping
+    steps the earlier-listed (lexicographically earlier for globs, i.e.
+    chronologically earlier resume) dir's row wins."""
+    import glob as globlib
+
+    dirs = []
+    for el in chain.split("+"):
+        expanded = sorted(globlib.glob(el)) if any(
+            c in el for c in "*?[") else [el]
+        dirs.extend(expanded or [el])
     rows = []
-    for d in chain.split("+"):
+    for d in dirs:
         path = os.path.join(d, "metrics.jsonl")
         if not os.path.exists(path):
             continue

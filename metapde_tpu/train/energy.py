@@ -9,6 +9,14 @@ under-optimized. This generalizes the reference's x-mirror min-MSE
 disambiguation (src/util/trainer_util.py:525-549), which handles only the
 one branch family reachable by mirroring; the energy comparison flags ANY
 equal-or-better-energy branch.
+
+Regime caveat: the discriminator presumes the boundary terms are
+essentially met (domain energy alone compares branches). An UNDER-TRAINED
+model (u ~ 0, F ~ I) also has near-zero elastic energy and gets flagged on
+every task — validation.make_validation_fn's all-flagged fallback then
+reports the plain mean, so early-training curves stay meaningful; the gate
+separates branches only once training satisfies the BCs (the em7 regime it
+was built for).
 """
 
 import jax

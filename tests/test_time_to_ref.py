@@ -64,3 +64,13 @@ def test_fmt_h():
     assert fmt_h(30) == "30 s"
     assert fmt_h(600) == "10.0 min"
     assert fmt_h(7200) == "2.00 h"
+
+
+def test_chain_glob_expansion(tmp_path):
+    # supervisor resume dirs em7, em7_1, ...: a glob element covers them in
+    # chronological (lexicographic) order
+    _write_metrics(str(tmp_path / "em7"), [(10, 0.5, 1.0)])
+    _write_metrics(str(tmp_path / "em7_1"), [(20, 0.3, 1.0)])
+    _write_metrics(str(tmp_path / "em7_2"), [(30, 0.2, 1.0)])
+    rows = scan_chain(f"{tmp_path}/em7*", "val_rel_err")
+    assert [r[0] for r in rows] == [10, 20, 30]
