@@ -83,10 +83,10 @@ if [ ! -f "$FRONTIER" ] && fits 2700; then
 fi
 
 # ---- T2: lp3 poisson LEAP budget chunks -------------------------------------
-# 222 ms/step measured (NEXT.md 3): 20k chunk ~ 4440s. Chunked so each
-# commit lands even if the window dies mid-push.
-for T in 80001 100001 120001 140001; do
-  run_chunk 4700 results_poisson_leap lp3 "$T" 500 5000 -- \
+# 222 ms/step measured (NEXT.md 3): 15k chunk ~ 3330s + compile. Chunked
+# fine so each commit lands even if the window dies mid-push.
+for T in 75001 90001 105001 120001 135001; do
+  run_chunk 3800 results_poisson_leap lp3 "$T" 500 5000 -- \
     python -m metapde_tpu.cli.leap_pde \
       --from_run=results_poisson_leap/lp2_4 --train.expt_name=lp3 \
     || break
